@@ -1,0 +1,180 @@
+"""Host traversal engine tests — goldens from TraversalEngineTest.java:97-410."""
+
+from corticall_tpu import fixtures
+from corticall_tpu.io import links as lk
+from corticall_tpu.traversal import (
+    AND, BOTH, TraversalConfig, TraversalEngine, to_contig, to_walk,
+)
+from corticall_tpu.traversal import utils as tu
+from corticall_tpu.traversal.stopping import ContigStopper
+
+
+def make_engine(g, colors, **kw):
+    cfg = TraversalConfig(graph=g, traversal_colors=list(colors),
+                          stopping_rule=ContigStopper, **kw)
+    return TraversalEngine(cfg)
+
+
+def test_short_contig_reconstruction():
+    g = fixtures.build_graph({
+        "mom": ["AGTTCTGATCTGGGCTATATGCT"],
+        "dad": ["AGTTCGAATCTGGGCTATATGCT"],
+        "kid": ["AGTTCTGATCTGGGCTATGGCTA"],
+    }, 5)
+    expectations = {
+        "mom": "AGTTCTGATCTGGGCTATATGCT",
+        "dad": "TTCGAATCTGGGCTATATGCT",
+        "kid": "AGTTCTGATCTGGGCTATGGCT",
+    }
+    for c in range(3):
+        e = make_engine(g, [c])
+        contig = to_contig(e.walk("CTGGG"))
+        assert contig == expectations[g.sample_name(c)], g.sample_name(c)
+
+
+def test_recruitment():
+    g = fixtures.build_graph({
+        "mom": ["AGTTCTGATCTGGGCTATATGCT"],
+        "dad": ["AGTTCTGATCTGGGCTATATGCT"],
+        "kid": ["AGTTCTG", "ATGGCTA"],
+    }, 5)
+    kid = g.color_for_sample("kid")
+    parents = g.colors_for_samples(["mom", "dad"])
+
+    for use_recruitment, expected in ((True, "AGTTCTGATCTGGGCTATATGCT"), (False, "AGTTCTG")):
+        e = make_engine(g, [kid], combination=AND, direction=BOTH,
+                        recruitment_colors=parents if use_recruitment else [])
+        contig = to_contig(e.walk("GTTCT"))
+        assert contig == expected, use_recruitment
+
+
+def test_cycles_without_links_are_not_assembled():
+    # McCortex paper Figure 1 example (TraversalEngineTest.java:209-226)
+    g = fixtures.build_graph({"test": ["ACTGATTTCGATGCGATGCGATGCCACGGTGG"]}, 5)
+    e = make_engine(g, [g.color_for_sample("test")])
+    contig = to_contig(e.walk("ACTGA"))
+    assert contig == "ACTGATTTCGATGC"
+
+
+def test_cycles_with_links_are_assembled():
+    # TraversalEngineTest.java:228-250
+    haplotypes = {"test": ["ACTGATTTCGATGCGATGCGATGCCACGGTGG"]}
+    reads = {"test": ["TTTCGATGCGATGCGATGCCACG"]}
+    g = fixtures.build_graph(haplotypes, 5)
+    links = lk.build_links(g, reads, "test")
+    e = make_engine(g, [g.color_for_sample("test")], links=[links])
+    contig = to_contig(e.walk("ACTGA"))
+    assert contig == "ACTGATTTCGATGCGATGCGATGCCACGGTGG"
+
+
+def test_iterate_fwd_without_path_information():
+    hap = "AGTTCGAATCTGGGCTATATGCT"
+    g = fixtures.build_graph({"mom": [hap]}, 7)
+    e = make_engine(g, [g.color_for_sample("mom")])
+    sk = "AGTTCGA"
+    out = [sk]
+    e.seek(sk)
+    while e.has_next():
+        cv = e.next()
+        out.append(cv.kmer[-1])
+    assert "".join(out) == hap
+
+
+def test_iterate_rev_without_path_information():
+    hap = "AGTTCGAATCTGGGCTATATGCT"
+    g = fixtures.build_graph({"mom": [hap]}, 7)
+    e = make_engine(g, [g.color_for_sample("mom")])
+    sk = "ATATGCT"
+    out = [sk]
+    e.seek(sk)
+    while e.has_previous():
+        cv = e.previous()
+        out.insert(0, cv.kmer[0])
+    assert "".join(out) == hap
+
+
+def test_iterate_fwd_to_fork():
+    g = fixtures.build_graph(
+        {"kid": ["AGTTCGAATCTGGGCTATATGCT", "AGTTCGAATCTGAGCTATATGCT"]}, 7)
+    e = make_engine(g, [g.color_for_sample("kid")])
+    sk = "AGTTCGA"
+    out = [sk]
+    e.seek(sk)
+    while e.has_next():
+        out.append(e.next().kmer[-1])
+    assert "".join(out) == "AGTTCGAATCTG"
+
+
+def test_iterate_rev_to_fork():
+    g = fixtures.build_graph(
+        {"kid": ["AGTTCGAATCTGGGCTATATGCT", "AGTTCGAATCTGAGCTATATGCT"]}, 7)
+    e = make_engine(g, [g.color_for_sample("kid")])
+    sk = "ATATGCT"
+    out = [sk]
+    e.seek(sk)
+    while e.has_previous():
+        out.insert(0, e.previous().kmer[0])
+    assert "".join(out) == "GCTATATGCT"
+
+
+def test_go_forward_and_backward():
+    hap = "AGTTCGAATCTGAGCTATATGCT"
+    k = 7
+    g = fixtures.build_graph({"kid": [hap]}, k)
+    e = make_engine(g, [g.color_for_sample("kid")])
+    for i in range(1, len(hap) - k):
+        sk = hap[i:i + k]
+        e.seek(sk)
+        if e.has_previous() and e.has_next():
+            e.next()
+            cv = e.previous()
+            assert cv.kmer == sk
+
+
+def test_dfs_source_to_single_sink():
+    k = 5
+    hap = "GTGTGCTAGGTCTATAGTTATAGGCGCGTCTCCGCAAAAATCGT"
+    haplotypes = {"mom": [hap]}
+    g = fixtures.build_graph(haplotypes, k)
+    links = lk.build_links(g, haplotypes, "mom")
+    mom = g.color_for_sample("mom")
+    e = make_engine(g, [mom], links=[links])
+    source, sink = hap[:k], hap[-k:]
+    contig = to_contig(to_walk(e.dfs(source, sink), source, mom))
+    assert contig == hap
+
+
+def test_assemble_bidirectional():
+    hap = "AGTTCGAATCTGGGCTATATGCT"
+    g = fixtures.build_graph({"mom": [hap]}, 7)
+    e = make_engine(g, [g.color_for_sample("mom")])
+    contig = to_contig(e.assemble("ATCTGGG"))
+    assert contig == hap
+
+
+def test_links_roundtrip(tmp_path):
+    haplotypes = {"test": ["ACTGATTTCGATGCGATGCGATGCCACGGTGG"]}
+    reads = {"test": ["TTTCGATGCGATGCGATGCCACG"]}
+    g = fixtures.build_graph(haplotypes, 5)
+    links = lk.build_links(g, reads, "test")
+    p = tmp_path / "t.ctp.gz"
+    lk.write_links(p, links)
+    links2 = lk.read_links(p)
+    assert links2.sample_name == "test"
+    assert links2.kmer_size == 5
+    assert set(links2.records) == set(links.records)
+    for kk in links.records:
+        assert sorted(links2.records[kk], key=lambda r: (r.forward, r.choices)) == \
+               sorted(links.records[kk], key=lambda r: (r.forward, r.choices))
+
+    # traversal through reloaded links gives the same contig
+    e = make_engine(g, [g.color_for_sample("test")], links=[links2])
+    assert to_contig(e.walk("ACTGA")) == "ACTGATTTCGATGCGATGCGATGCCACGGTGG"
+
+
+def test_connected_components():
+    g = fixtures.build_graph({"kid": ["AGTTCTGCA", "TTATGGCTA"]}, 5)
+    e = make_engine(g, [0])
+    d1 = e.dfs("GTTCT")
+    comps = tu.connected_components(d1)
+    assert len(comps) == 1
