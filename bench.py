@@ -1,0 +1,113 @@
+"""Headline benchmark: batched k-mer traversal steps/sec on one chip.
+
+Metric per BASELINE.json: "k-mer traversal steps/sec/chip".  The reference
+publishes no throughput numbers and its Java jar cannot run here (no JVM), so
+vs_baseline is measured against a faithful single-threaded host
+reimplementation of the reference's walk algorithm (per-step canonicalize +
+binary-search findRecord over sorted records + edge decode — the same
+per-vertex operations CortexGraph.java:272-317 / TraversalEngine.java:241-279
+perform), timed in the same process.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def build_bench_graph(k: int, n_bases: int, seed: int = 7):
+    from corticall_tpu import fixtures
+    rng = np.random.default_rng(seed)
+    genome = "".join(rng.choice(list("ACGT"), n_bases))
+    # child shares the parents' genome with a sprinkle of private variants
+    child = list(genome)
+    for pos in rng.integers(k, n_bases - k, size=max(4, n_bases // 250_000)):
+        child[pos] = "ACGT"[(ord(child[pos]) + 1) % 4]
+    child = "".join(child)
+    g = fixtures.build_graph({"kid": [child], "mom": [genome], "dad": [genome]}, k)
+    return g, genome
+
+
+def host_baseline_steps_per_sec(g, seeds, max_steps: int = 64) -> float:
+    """Reference-style walk: one vertex at a time, binary-search lookup."""
+    from corticall_tpu import kmer as km
+    from corticall_tpu import graph as gr
+
+    t0 = time.perf_counter()
+    steps = 0
+    for seed in seeds:
+        sk = seed
+        for _ in range(max_steps):
+            rec = g.find_record(sk)          # canonicalize + searchsorted
+            if rec < 0:
+                break
+            canon = g.kmer_string(rec)
+            flipped = canon != sk
+            e = int(g.edges[rec, 0])
+            prev_mask, next_mask = gr.edges_to_masks(np.uint8(e), flipped)
+            nm = int(next_mask)
+            n = bin(nm).count("1")
+            if n != 1:
+                break
+            b = (nm & -nm).bit_length() - 1
+            sk = sk[1:] + "ACGT"[b]
+            steps += 1
+    dt = time.perf_counter() - t0
+    return steps / dt if dt > 0 else 0.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from corticall_tpu import device, kmer as km
+    from corticall_tpu.ops import walk as wk
+
+    k = int(os.environ.get("BENCH_K", "47"))
+    n_bases = int(os.environ.get("BENCH_BASES", "2000000"))
+    b = int(os.environ.get("BENCH_WALKS", "8192"))
+    t = int(os.environ.get("BENCH_STEPS", "256"))
+
+    g, genome = build_bench_graph(k, n_bases)
+    dg = device.DeviceGraph.from_graph(g)
+    edges_combined = dg.combined_edges([0])
+
+    rng = np.random.default_rng(11)
+    starts = rng.integers(0, len(genome) - k, size=b)
+    seed_strs = [genome[i:i + k] for i in starts]
+    seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(seed_strs), k))
+
+    # warmup / compile
+    bases, cycled, steps = wk.walk_forward(dg.slots, dg.kmers, edges_combined,
+                                           seeds, k, dg.max_probe, t)
+    jax.block_until_ready((bases, cycled, steps))
+
+    n_iters = 5
+    t0 = time.perf_counter()
+    total_emitted = 0
+    for _ in range(n_iters):
+        bases, cycled, steps = wk.walk_forward(dg.slots, dg.kmers, edges_combined,
+                                               seeds, k, dg.max_probe, t)
+        total_emitted += int(jax.block_until_ready(steps).sum())
+    dt = time.perf_counter() - t0
+    device_sps = total_emitted / dt
+
+    # host reference-style baseline on a small subset, same workload shape
+    n_base_seeds = int(os.environ.get("BENCH_BASELINE_SEEDS", "64"))
+    host_sps = host_baseline_steps_per_sec(g, seed_strs[:n_base_seeds], max_steps=t)
+
+    print(json.dumps({
+        "metric": "kmer_traversal_steps_per_sec_per_chip",
+        "value": round(device_sps),
+        "unit": "steps/s",
+        "vs_baseline": round(device_sps / host_sps, 2) if host_sps else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Batched frontier walk kernel: thousands of contig walks per device step.
+
+The TPU-native reformulation of the reference's one-vertex-at-a-time cursor
+(TraversalEngine.java:241-319, ContigStopper semantics): every walk advances
+one de Bruijn step per fused device iteration — canonicalize, hash-probe,
+edge-byte decode, single-successor test, shift-append — entirely in uint32
+vector lanes, batched over B walks.
+
+Cycle handling: the reference stops when the single successor was already
+seen this walk (unbounded host hash set, TraversalEngine.java:262).  A batched
+kernel cannot afford per-walk sets, so walks carry O(1) Brent cycle-detection
+state; a detected cycle may overshoot by up to one cycle length, and the host
+trims the emitted bases back to the first revisit (`trim_walk_bases`), which
+reproduces the reference's stopping point exactly.
+
+A backward walk from seed S equals the forward walk from revcomp(S) (the edge
+encoding is orientation-symmetric), so one forward kernel serves both
+directions; `assemble_batch` composes them into full bidirectional contigs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import kmer_jax as kj
+from . import hashtable as ht
+from .. import kmer as km
+
+
+@partial(jax.jit, static_argnames=("k", "max_probe", "num_steps"))
+def walk_forward(slots, keys, edges_combined, seeds, k: int, max_probe: int,
+                 num_steps: int):
+    """Advance B forward walks num_steps de Bruijn steps.
+
+    slots: int32[M]; keys: uint32[N, W]; edges_combined: uint8[N] (OR of the
+    traversal colors' edge bytes); seeds: uint32[B, W] walk-orientation kmers.
+
+    Returns (bases int8[num_steps, B] emitted next-base codes (-1 = walk
+    ended), cycled bool[B] walks that ended via cycle detection, steps int32[B]
+    number of bases emitted per walk).
+    """
+
+    def step(state, _):
+        cur, active, saved, power, lam = state
+        canon, flipped = kj.canonicalize_words(cur, k)
+        idx = ht.lookup(slots, keys, canon, max_probe)
+        e = jnp.where(idx >= 0, edges_combined[jnp.maximum(idx, 0)], 0).astype(jnp.uint32)
+        next_mask = jnp.where(flipped, e >> 4, e & 0xF).astype(jnp.uint32)
+        n = kj.popcount4(next_mask)
+        base = kj.lowest_set_base(next_mask)
+        nxt = kj.shift_append(cur, base.astype(jnp.uint32), k)
+
+        single = (n == 1) & (idx >= 0)
+        is_cycle = jnp.all(nxt == saved, axis=-1) & single & active
+
+        advance = active & single & ~is_cycle
+        emitted = jnp.where(advance, base, -1).astype(jnp.int8)
+
+        # Brent teleport: when power == lam, move the anchor to the current head
+        teleport = (power == lam) & advance
+        saved = jnp.where(teleport[:, None], nxt, saved)
+        power = jnp.where(teleport, power * 2, power)
+        lam = jnp.where(teleport, 0, lam)
+        lam = jnp.where(advance, lam + 1, lam)
+
+        cur = jnp.where(advance[:, None], nxt, cur)
+        new_active = advance
+        return (cur, new_active, saved, power, lam), (emitted, is_cycle)
+
+    b = seeds.shape[0]
+    init = (
+        seeds,
+        jnp.ones(b, dtype=bool),
+        seeds,                       # Brent anchor starts at the seed
+        jnp.ones(b, dtype=jnp.int32),
+        jnp.zeros(b, dtype=jnp.int32),
+    )
+    (_, active, *_), (bases, cycles) = jax.lax.scan(step, init, None, length=num_steps)
+    cycled = jnp.any(cycles, axis=0)
+    steps = (bases >= 0).sum(axis=0).astype(jnp.int32)
+    return bases, cycled, steps
+
+
+def replay_walk(seed: str, bases: np.ndarray, cycled: bool,
+                max_branch_length: int = 75000) -> str:
+    """Rebuild the walked extension with the reference's exact stopping rule.
+
+    Without links the single-successor function is deterministic per kmer, so
+    the device recording (which may overshoot around a cycle before Brent
+    detection, or stop slightly early) fully determines the successor map; we
+    replay the reference's seen-set semantics (TraversalEngine.java:241-279:
+    emit the cursor kmer, then stop when the *following* kmer was already
+    stepped onto — the seed and first step are never in the seen set) over
+    that map.  Returns the extension string appended after the seed.
+    """
+    k = len(seed)
+    ext = "".join("ACGT"[b] for b in bases if b >= 0)
+    if not cycled:
+        return ext
+
+    # successor map from the recorded path (covers the full cycle: Brent's
+    # anchor sits on the cycle for >= one full lap before detection)
+    seq = seed + ext
+    succ: dict[str, str] = {}
+    for i in range(len(seq) - k):
+        succ.setdefault(seq[i:i + k], seq[i + k])
+
+    out = []
+    seen: set[str] = set()
+    nxt = seed[1:] + succ[seed] if seed in succ else None
+    while nxt is not None and len(out) < max_branch_length:
+        out.append(nxt[-1])
+        b = succ.get(nxt)
+        f = nxt[1:] + b if b is not None else None
+        if f is not None and f not in seen:
+            seen.add(f)
+            nxt = f
+        else:
+            nxt = None
+    return "".join(out)
+
+
+def assemble_batch(dg, colors, seeds: list[str], num_steps: int = 1024) -> list[str]:
+    """Bidirectional contig per seed (ContigStopper semantics, no links):
+    the device analog of TraversalEngine.assemble (TraversalEngine.java:112-145).
+    """
+    k = dg.kmer_size
+    edges_combined = dg.combined_edges(colors)
+    fwd_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(seeds), k))
+    rc_strings = [km.revcomp(s) for s in seeds]
+    rev_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(rc_strings), k))
+
+    fb, fc, _ = walk_forward(dg.slots, dg.kmers, edges_combined, fwd_seeds,
+                             k, dg.max_probe, num_steps)
+    rb, rc_, _ = walk_forward(dg.slots, dg.kmers, edges_combined, rev_seeds,
+                              k, dg.max_probe, num_steps)
+    fb = np.asarray(fb).T  # [B, T]
+    rb = np.asarray(rb).T
+    fc = np.asarray(fc)
+    rc_c = np.asarray(rc_)
+
+    out = []
+    for i, seed in enumerate(seeds):
+        fwd_ext = replay_walk(seed, fb[i], bool(fc[i]), num_steps)
+        back_ext = replay_walk(rc_strings[i], rb[i], bool(rc_c[i]), num_steps)
+        prefix = km.revcomp(back_ext) if back_ext else ""
+        out.append(prefix + seed + fwd_ext)
+    return out

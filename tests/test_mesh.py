@@ -1,0 +1,72 @@
+"""Sharded execution tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from corticall_tpu import device, fixtures, kmer as km
+from corticall_tpu.ops import kmer_jax as kj, hashtable as ht
+from corticall_tpu.parallel import mesh as pm
+
+
+def _graph(k=17, n=3000, seed=3):
+    rng = np.random.default_rng(seed)
+    genome = "".join(rng.choice(list("ACGT"), n))
+    return fixtures.build_graph({"a": [genome], "b": [genome[: n // 2]]}, k), genome
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_step_matches_single_device(n_dev):
+    g, genome = _graph()
+    k = g.kmer_size
+    devs = jax.devices()
+    if len(devs) < n_dev:
+        pytest.skip("not enough devices")
+    mesh = Mesh(np.array(devs[:n_dev]), (pm.AXIS,))
+
+    sg = pm.ShardedGraph.from_graph(g, n_dev)
+    step = pm.make_sharded_walk_step(mesh, sg, colors=[0, 1], k=k)
+
+    b = 8 * n_dev
+    rng = np.random.default_rng(0)
+    starts = rng.integers(0, len(genome) - k, size=b)
+    seeds = jnp.asarray(km.pack_codes(
+        km.strings_to_codes([genome[i:i + k] for i in starts]), k))
+    active = jnp.ones(b, dtype=bool)
+
+    with mesh:
+        cur_s, act_s, live = step(seeds, active)
+        cur_s.block_until_ready()
+
+    # single-device oracle
+    dg = device.DeviceGraph.from_graph(g)
+    edges_combined = dg.combined_edges([0, 1])
+    canon, flipped = kj.canonicalize_words(seeds, k)
+    idx = ht.lookup(dg.slots, dg.kmers, canon, dg.max_probe)
+    e = jnp.where(idx >= 0, edges_combined[jnp.maximum(idx, 0)], 0).astype(jnp.uint32)
+    next_mask = jnp.where(flipped, e >> 4, e & 0xF)
+    n = kj.popcount4(next_mask)
+    base = kj.lowest_set_base(next_mask)
+    nxt = kj.shift_append(seeds, base.astype(jnp.uint32), k)
+    advance = (n == 1) & (idx >= 0)
+    cur_1 = jnp.where(advance[:, None], nxt, seeds)
+
+    np.testing.assert_array_equal(np.asarray(act_s), np.asarray(advance))
+    np.testing.assert_array_equal(np.asarray(cur_s), np.asarray(cur_1))
+    assert int(live) == int(advance.sum())
+
+
+def test_sharded_graph_partition_covers_all_records():
+    g, _ = _graph()
+    sg = pm.ShardedGraph.from_graph(g, 4)
+    assert sg.counts.sum() == g.num_records
+    # every record's kmer appears in exactly one shard
+    all_keys = set()
+    for s in range(4):
+        ks = km.words_to_bytes_be(np.asarray(sg.kmers[s])[: sg.counts[s]], g.kmer_size)
+        for key in ks:
+            assert key not in all_keys
+            all_keys.add(key)
+    assert len(all_keys) == g.num_records
