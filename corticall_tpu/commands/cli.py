@@ -1,0 +1,251 @@
+"""Command-line interface: `python -m corticall_tpu <Command> [args]`.
+
+Mirrors the reference's CLI surface (`java -jar corticall.jar <Command>`,
+Main.java:40-64 + per-command @Argument flags) so WDL pipelines can swap the
+jar for this module.  Flag names match the Java fullName/shortName pairs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .. import graph as gr
+from ..io import ctx as ctxio
+from ..io import links as lkio
+from . import core
+
+
+def _load_links(paths):
+    return [lkio.read_links(p) for p in (paths or [])]
+
+
+def cmd_join(args):
+    graphs = [gr.CortexGraph.load(p) for p in args.graph]
+    core.join(graphs).save(args.out)
+
+
+def cmd_remove(args):
+    primary = gr.CortexGraph.load(args.graph)
+    secondaries = [gr.CortexGraph.load(p) for p in args.secondary]
+    core.remove(primary, secondaries).save(args.out)
+
+
+def cmd_find_rois(args):
+    g = gr.CortexGraph.load(args.graph)
+    core.find_rois(g, args.child, args.parents).save(args.out)
+
+
+def cmd_find_low_coverage(args):
+    roi = gr.CortexGraph.load(args.roi)
+    core.find_low_coverage(roi, args.minCoverage).save(args.out)
+
+
+def cmd_find_dust(args):
+    g = gr.CortexGraph.load(args.graph)
+    roi = gr.CortexGraph.load(args.roi)
+    core.find_dust(g, roi, args.parents).save(args.out)
+
+
+def cmd_find_low_complexity(args):
+    g = gr.CortexGraph.load(args.graph)
+    roi = gr.CortexGraph.load(args.roi)
+    core.find_low_complexity(g, roi, args.parents, args.crThreshold).save(args.out)
+
+
+def cmd_find_shared(args):
+    g = gr.CortexGraph.load(args.graph)
+    roi = gr.CortexGraph.load(args.roi)
+    core.find_shared(g, roi, args.parents, args.ignore or []).save(args.out)
+
+
+def cmd_find_tips(args):
+    g = gr.CortexGraph.load(args.graph)
+    roi = gr.CortexGraph.load(args.roi)
+    core.find_tips(g, roi, args.parents, _load_links(args.links)).save(args.out)
+
+
+def cmd_find_orphans(args):
+    g = gr.CortexGraph.load(args.graph)
+    roi = gr.CortexGraph.load(args.roi)
+    core.find_orphans(g, roi, args.parents).save(args.out)
+
+
+def cmd_partition(args):
+    g = gr.CortexGraph.load(args.graph)
+    roi = gr.CortexGraph.load(args.roi)
+    parts = core.partition(g, roi, _load_links(args.links), args.linkNovels)
+    with _out_stream(args.out) as f:
+        for header, contig in parts:
+            f.write(f">{header}\n{contig}\n")
+
+
+def cmd_view(args):
+    g = gr.CortexGraph.load(args.graph)
+    with _out_stream(args.out) as f:
+        if args.headerOnly:
+            h = g.header
+            f.write(f"file: {args.graph}\nversion: {h.version}\nkmer size: {h.kmer_size}\n"
+                    f"kmer containers: {h.kmer_containers}\ncolors: {h.num_colors}\n"
+                    f"records: {g.num_records}\n")
+            for c, color in enumerate(h.colors):
+                f.write(f"-- color {c}: {color.sample_name}\n")
+        elif args.record:
+            for seq in args.record:
+                k = g.kmer_size
+                for i in range(len(seq) - k + 1):
+                    sk = seq[i:i + k]
+                    rec = g.find_record(sk)
+                    if rec >= 0:
+                        f.write(g.record_string(rec) + "\n")
+                    else:
+                        f.write(f"{sk}: missing\n")
+        else:
+            for i in range(g.num_records):
+                f.write(g.record_string(i) + "\n")
+
+
+def cmd_head(args):
+    g = gr.CortexGraph.load(args.graph)
+    with _out_stream(args.out) as f:
+        for i in range(min(args.n, g.num_records)):
+            f.write(g.record_string(i) + "\n")
+
+
+def cmd_tail(args):
+    g = gr.CortexGraph.load(args.graph)
+    with _out_stream(args.out) as f:
+        for i in range(max(0, g.num_records - args.n), g.num_records):
+            f.write(g.record_string(i) + "\n")
+
+
+def cmd_covstats(args):
+    g = gr.CortexGraph.load(args.graph)
+    with _out_stream(args.out) as f:
+        f.write("color\tsample\tnum_kmers\ttotal_coverage\tmean_coverage\n")
+        import numpy as np
+        for c in range(g.num_colors):
+            cov = g.coverages[:, c]
+            nk = int((cov > 0).sum())
+            tot = int(cov.sum())
+            f.write(f"{c}\t{g.sample_name(c)}\t{nk}\t{tot}\t"
+                    f"{tot / nk if nk else 0:.2f}\n")
+
+
+def cmd_sort(args):
+    from .. import kmer as km
+    g = gr.CortexGraph.load(args.graph)
+    kmers, cov, edges = gr.sort_records(g.kmers, g.coverages, g.edges, g.kmer_size)
+    data = ctxio.CtxData(g.header, kmers, cov, edges,
+                         km.words_to_bytes_be(kmers, g.kmer_size))
+    gr.CortexGraph(data).save(args.out)
+
+
+def cmd_index_links(args):
+    data = lkio.read_links(args.links)
+    lkio.write_links(args.out, data)
+
+
+class _out_stream:
+    def __init__(self, path):
+        self.path = path
+
+    def __enter__(self):
+        self.f = sys.stdout if self.path in (None, "-") else open(self.path, "w")
+        return self.f
+
+    def __exit__(self, *a):
+        if self.f is not sys.stdout:
+            self.f.close()
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="corticall_tpu",
+                                description="TPU-native Corticall")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def add(name, fn, **kwargs):
+        sp = sub.add_parser(name, **kwargs)
+        sp.set_defaults(fn=fn)
+        return sp
+
+    sp = add("Join", cmd_join, help="merge graphs into a multi-color graph")
+    sp.add_argument("--graph", "-g", action="append", required=True)
+    sp.add_argument("--out", "-o", required=True)
+
+    sp = add("Remove", cmd_remove, help="subtract secondary graphs' kmers")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--secondary", "-s", action="append", required=True)
+    sp.add_argument("--out", "-o", required=True)
+
+    sp = add("FindROIs", cmd_find_rois, help="find candidate de novo kmers")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--parents", "-p", action="append", required=True)
+    sp.add_argument("--child", "-c", required=True)
+    sp.add_argument("--out", "-o", required=True)
+
+    for name, fn, extra in (
+        ("FindLowCoverage", cmd_find_low_coverage, "mincov"),
+        ("FindDust", cmd_find_dust, "gp"),
+        ("FindLowComplexity", cmd_find_low_complexity, "thresh"),
+        ("FindShared", cmd_find_shared, "ignore"),
+        ("FindTips", cmd_find_tips, "links"),
+        ("FindOrphans", cmd_find_orphans, "gp"),
+    ):
+        sp = add(name, fn, help=f"prefilter: {name}")
+        sp.add_argument("--roi", "-r", required=True)
+        sp.add_argument("--out", "-o", required=True)
+        if name != "FindLowCoverage":
+            sp.add_argument("--graph", "-g", required=True)
+            sp.add_argument("--parents", "-p", action="append", required=True)
+        if extra == "mincov":
+            sp.add_argument("--minCoverage", "-m", type=int, default=10)
+        if extra == "thresh":
+            sp.add_argument("--crThreshold", "-t", type=float, default=0.70)
+        if extra == "ignore":
+            sp.add_argument("--ignore", "-i", action="append")
+        if extra == "links":
+            sp.add_argument("--links", "-l", action="append")
+
+    sp = add("Partition", cmd_partition, help="group novel kmers into contigs")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--roi", "-r", required=True)
+    sp.add_argument("--links", "-l", action="append")
+    sp.add_argument("--linkNovels", "-ln", action="store_true")
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("View", cmd_view, help="print graph records")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--record", "-r", action="append")
+    sp.add_argument("--headerOnly", "-H", action="store_true")
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("Head", cmd_head, help="first n records")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("-n", type=int, default=10)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("Tail", cmd_tail, help="last n records")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("-n", type=int, default=10)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("CovStats", cmd_covstats, help="coverage statistics per color")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("Sort", cmd_sort, help="sort records by canonical kmer")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--out", "-o", required=True)
+
+    sp = add("IndexLinks", cmd_index_links, help="re-index a links file")
+    sp.add_argument("--links", "-l", required=True)
+    sp.add_argument("--out", "-o", required=True)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+    return 0

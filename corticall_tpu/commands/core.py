@@ -1,0 +1,289 @@
+"""Command-layer core operations: graph algebra + ROI discovery + prefilters.
+
+Library functions behind the CLI commands (commands/ in the reference).  All
+per-record scans are vectorized numpy over the struct-of-arrays graph —
+FindROIs on a Pf-scale 5-color graph is a handful of array ops instead of the
+reference's per-record loop (FindROIs.java:31-70).
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import numpy as np
+
+from .. import graph as gr
+from .. import kmer as km
+from ..io import ctx as ctxio
+from ..traversal import (AND, BOTH, OR, TraversalConfig, TraversalEngine,
+                         to_contig, to_walk)
+from ..traversal import utils as tu
+from ..traversal.stopping import ContigStopper, NovelPartitionStopper, OrphanStopper
+
+
+# ---------------------------------------------------------------------------
+# graph algebra (Join / Remove — commands/utils/Join.java, Remove.java)
+# ---------------------------------------------------------------------------
+
+def join(graphs: list) -> gr.CortexGraph:
+    """Merge graphs into one multi-color graph; colors concatenate in input
+    order, kmers union, missing colors zero-filled (CortexCollection.java:34-63)."""
+    k = graphs[0].kmer_size
+    for g in graphs:
+        if g.kmer_size != k:
+            raise ValueError(f"kmer size mismatch: {g.kmer_size} != {k}")
+
+    all_keys = np.concatenate([g.data.kmer_bytes for g in graphs])
+    uniq = np.unique(all_keys)
+    n = len(uniq)
+    total_colors = sum(g.num_colors for g in graphs)
+
+    cov = np.zeros((n, total_colors), dtype=np.uint32)
+    edges = np.zeros((n, total_colors), dtype=np.uint8)
+    colors: list[ctxio.CtxColor] = []
+    ac = 0
+    for g in graphs:
+        idx = np.searchsorted(uniq, g.data.kmer_bytes)
+        cov[idx, ac:ac + g.num_colors] = g.coverages
+        edges[idx, ac:ac + g.num_colors] = g.edges
+        colors.extend(g.header.colors)
+        ac += g.num_colors
+
+    kmers = km.bytes_be_to_words(uniq, k)
+    header = ctxio.CtxHeader(6, k, km.containers_per_kmer(k), list(colors))
+    return gr.CortexGraph(ctxio.CtxData(header, kmers, cov, edges, uniq))
+
+
+def remove(primary: gr.CortexGraph, secondaries: list) -> gr.CortexGraph:
+    """Keep union kmers with zero coverage in every secondary color, sliced to
+    the primary's colors (Remove.java:31-86)."""
+    merged = join([primary] + list(secondaries))
+    pc = primary.num_colors
+    sec_cov = merged.coverages[:, pc:]
+    keep = ~(sec_cov > 0).any(axis=1)
+    data = ctxio.CtxData(
+        primary.header,
+        merged.kmers[keep],
+        merged.coverages[keep][:, :pc].copy(),
+        merged.edges[keep][:, :pc].copy(),
+        merged.data.kmer_bytes[keep],
+    )
+    return gr.CortexGraph(data)
+
+
+def subset_colors(g: gr.CortexGraph, colors: list, mask: np.ndarray,
+                  sample_names=None) -> gr.CortexGraph:
+    """Records where mask is True, restricted to the given colors."""
+    names = sample_names or [g.sample_name(c) for c in colors]
+    header = ctxio.CtxHeader.make(names, g.kmer_size)
+    for i, c in enumerate(colors):
+        header.colors[i] = g.header.colors[c]
+    data = ctxio.CtxData(
+        header,
+        g.kmers[mask],
+        g.coverages[mask][:, colors].copy(),
+        g.edges[mask][:, colors].copy(),
+        g.data.kmer_bytes[mask],
+    )
+    return gr.CortexGraph(data)
+
+
+# ---------------------------------------------------------------------------
+# ROI discovery (FindROIs.java:31-105)
+# ---------------------------------------------------------------------------
+
+def find_rois(g: gr.CortexGraph, child: str, parents: list) -> gr.CortexGraph:
+    """Novel kmers: child coverage > 0 and every parent coverage == 0.
+    Output: single-color graph carrying the child's coverage/edges."""
+    child_color = g.color_for_sample(child)
+    parent_colors = g.colors_for_samples(parents)
+    child_cov = g.coverages[:, child_color] > 0
+    parents_lack = np.ones(g.num_records, dtype=bool)
+    for c in parent_colors:
+        parents_lack &= g.coverages[:, c] == 0
+    mask = child_cov & parents_lack
+    out = subset_colors(g, [child_color], mask)
+    # FindROIs writes a fresh single-color header with default flags
+    out.header.colors[0] = ctxio.CtxColor(sample_name=g.sample_name(child_color))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# prefilters — each returns the EXCLUDED kmers as a 1-color graph with the
+# ROI's header (the WDL pipeline then subtracts them via Remove)
+# ---------------------------------------------------------------------------
+
+def _excluded_subset(roi: gr.CortexGraph, excluded_canon: set) -> gr.CortexGraph:
+    mask = np.zeros(roi.num_records, dtype=bool)
+    for i in range(roi.num_records):
+        if roi.kmer_string(i) in excluded_canon:
+            mask[i] = True
+    return subset_colors(roi, list(range(roi.num_colors)), mask)
+
+
+def find_low_coverage(roi: gr.CortexGraph, min_coverage: int = 10) -> gr.CortexGraph:
+    """Excluded = ROI records with coverage < min (FindLowCoverage.java:32-66)."""
+    mask = roi.coverages[:, 0] < min_coverage
+    return subset_colors(roi, [0], mask)
+
+
+def find_dust(graph: gr.CortexGraph, roi: gr.CortexGraph, parents: list) -> gr.CortexGraph:
+    """Excluded = ROI records whose own in+out degree > 4 (FindDust.java:44-80,
+    using the ROI's color-0 edges)."""
+    e = roi.edges[:, 0].astype(np.uint16)
+    deg = np.zeros(roi.num_records, dtype=np.int32)
+    for b in range(8):
+        deg += ((e >> b) & 1).astype(np.int32)
+    mask = deg > 4
+    return subset_colors(roi, [0], mask)
+
+
+def compression_ratio(s: str) -> float:
+    """gzip-compressed length / raw length (SequenceUtils.java:794-813)."""
+    b = s.encode()
+    c = gzip.compress(b, compresslevel=6, mtime=0)
+    return len(c) / len(b)
+
+
+def find_low_complexity(graph: gr.CortexGraph, roi: gr.CortexGraph, parents: list,
+                        threshold: float = 0.70) -> gr.CortexGraph:
+    """Excluded = ROI kmers whose gzip compression ratio < threshold
+    (FindLowComplexity.java:41-100)."""
+    mask = np.array([compression_ratio(roi.kmer_string(i)) < threshold
+                     for i in range(roi.num_records)])
+    return subset_colors(roi, [0], mask.astype(bool))
+
+
+def find_shared(graph: gr.CortexGraph, roi: gr.CortexGraph, parents: list,
+                ignore: list = ()) -> gr.CortexGraph:
+    """Excluded = ROI kmers covered in any joined-graph color that is neither
+    the child, a parent, nor ignored (FindShared.java)."""
+    child = roi.sample_name(0)
+    child_color = graph.color_for_sample(child)
+    parent_colors = set(graph.colors_for_samples(parents))
+    ignore_colors = set(graph.colors_for_samples(list(ignore))) if ignore else set()
+    other = [c for c in range(graph.num_colors)
+             if c != child_color and c not in parent_colors and c not in ignore_colors]
+    idx = graph.find_records(roi.kmers)
+    mask = np.zeros(roi.num_records, dtype=bool)
+    if other:
+        present = idx >= 0
+        cov = graph.coverages[np.maximum(idx, 0)][:, other]
+        mask = present & (cov > 0).any(axis=1)
+    return subset_colors(roi, [0], mask)
+
+
+def find_tips(graph: gr.CortexGraph, roi: gr.CortexGraph, parents: list,
+              links=()) -> gr.CortexGraph:
+    """Excluded = novel-kmer chains anchored at one end only (FindTips.java:43-140)."""
+    child = roi.sample_name(0)
+    child_color = graph.color_for_sample(child)
+    parent_colors = graph.colors_for_samples(parents)
+
+    roi_set = {roi.kmer_string(i) for i in range(roi.num_records)}
+    used = {s: False for s in roi_set}
+    tips: set = set()
+
+    for s in sorted(used):
+        if used[s]:
+            continue
+        e = TraversalEngine(TraversalConfig(
+            graph=graph, traversal_colors=[child_color],
+            joining_colors=list(parent_colors), direction=BOTH, combination=AND,
+            stopping_rule=ContigStopper, rois=roi, links=list(links)))
+        walk = e.walk(s)
+        if not walk:
+            continue
+        left, right = walk[0], walk[-1]
+        left_novel = left.canonical in roi_set
+        no_left = len(e.get_prev_vertices(left.kmer)) == 0
+        right_novel = right.canonical in roi_set
+        no_right = len(e.get_next_vertices(right.kmer)) == 0
+        is_tip = (left_novel and no_left) or (right_novel and no_right)
+        for v in walk:
+            if v.canonical in used:
+                used[v.canonical] = True
+                if is_tip:
+                    tips.add(v.canonical)
+    return _excluded_subset(roi, tips)
+
+
+def find_orphans(graph: gr.CortexGraph, roi: gr.CortexGraph, parents: list) -> gr.CortexGraph:
+    """Excluded = novel chains that never touch parental colors (FindOrphans.java)."""
+    child = roi.sample_name(0)
+    child_color = graph.color_for_sample(child)
+    parent_colors = graph.colors_for_samples(parents)
+
+    e = TraversalEngine(TraversalConfig(
+        graph=graph, traversal_colors=[child_color],
+        joining_colors=list(parent_colors), direction=BOTH, combination=AND,
+        stopping_rule=OrphanStopper, rois=roi))
+
+    orphans: set = set()
+    for i in range(roi.num_records):
+        canon = roi.kmer_string(i)
+        if canon in orphans:
+            continue
+        if (len(e.get_next_vertices(canon)) == 0
+                or len(e.get_prev_vertices(canon)) == 0):
+            dfs = e.dfs(canon)
+            if dfs is not None and dfs.num_vertices() > 0:
+                for v in dfs.vertices():
+                    orphans.add(v.canonical)
+    return _excluded_subset(roi, orphans)
+
+
+# ---------------------------------------------------------------------------
+# Partition (discover/call/Partition.java:55-269)
+# ---------------------------------------------------------------------------
+
+def partition(graph: gr.CortexGraph, roi: gr.CortexGraph, links=(),
+              link_novels: bool = False) -> list:
+    """Group novel kmers into partition contigs.  Returns
+    [(name_header, contig_sequence), ...] in the reference's emit order."""
+    child_color = graph.color_for_sample(roi.sample_name(0))
+
+    e = TraversalEngine(TraversalConfig(
+        graph=graph, traversal_colors=[child_color], direction=BOTH,
+        combination=OR,
+        stopping_rule=NovelPartitionStopper if link_novels else ContigStopper,
+        rois=roi, links=list(links),
+    ))
+
+    # used: canonical kmer -> assigned walk (or None), iterated in sorted order
+    # (reference uses a TreeMap, Partition.java:258-265)
+    used: dict = {roi.kmer_string(i): None for i in range(roi.num_records)}
+
+    from ..traversal.subgraph import Vertex
+
+    for ck in sorted(used):
+        if used[ck] is not None:
+            continue
+        g = e.dfs(ck)
+        w = to_walk(g, ck, child_color, graph=graph)
+        if not w:
+            w = [Vertex(ck, graph.find_record(ck))]
+        # claim novel kmers on the walk; keep the longest walk per kmer
+        for v in w:
+            canon = v.canonical
+            if canon in used and (used[canon] is None or len(w) > len(used[canon])):
+                used[canon] = w
+
+    contigs: list = []
+    contig_set: set = set()
+    for ck in used:
+        if used[ck] is not None:
+            fw = to_contig(used[ck])
+            rc = km.revcomp(fw)
+            if fw not in contig_set and rc not in contig_set:
+                contig_set.add(fw)
+
+    out = []
+    k = graph.kmer_size
+    for i, contig in enumerate(sorted(contig_set)):
+        num_novels = sum(
+            1 for j in range(len(contig) - k + 1)
+            if min(contig[j:j + k], km.revcomp(contig[j:j + k])) in used)
+        header = f"partition{i} len={len(contig) - k + 1} numNovels={num_novels}"
+        out.append((header, contig))
+    return out
