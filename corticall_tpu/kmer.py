@@ -70,6 +70,16 @@ def strings_to_codes(seqs, k: int | None = None) -> np.ndarray:
     return codes
 
 
+def string_to_codes_permissive(s: str | bytes) -> np.ndarray:
+    """Codes with non-ACGT bases mapped to 4 (no exception)."""
+    if isinstance(s, str):
+        s = s.encode()
+    a = np.frombuffer(s, dtype=np.uint8)
+    codes = _CODE_OF[a].copy()
+    codes[codes == 255] = 4
+    return codes
+
+
 def codes_to_string(codes: np.ndarray) -> str:
     return _BASE_OF[codes].tobytes().decode()
 
@@ -221,5 +231,11 @@ def canonical_kmer(s: str) -> tuple[str, bool]:
     return codes_to_string(canon), bool(flipped)
 
 
+_COMP_TABLE = str.maketrans("ACGTacgt", "TGCAtgca")
+
+
 def revcomp(s: str) -> str:
-    return codes_to_string(revcomp_codes(string_to_codes(s)))
+    """Reverse complement; non-ACGT characters pass through unchanged
+    (SequenceUtils.complement maps N->N and leaves unknowns as-is,
+    SequenceUtils.java:61-86)."""
+    return s.translate(_COMP_TABLE)[::-1]

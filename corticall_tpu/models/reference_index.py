@@ -1,0 +1,232 @@
+"""Indexed reference: exact-match k-mer lookup + seed-and-extend aligner.
+
+Replaces the reference's IndexedReference (htsjdk faidx + bwa-mem via JNI,
+alignment/reference/IndexedReference.java:19-118, BwaAligner.java:18-82) with
+a native design: a sorted packed-seed position index (numpy searchsorted on
+host; the same table feeds device gathers) and banded Gotoh extension for
+full alignments.  Scoped to what the calling pipeline actually uses:
+
+- find(seq): perfect-match intervals, NM==0 single-op placements
+  (IndexedReference.java:90-101; golden semantics from KmerLookupTest:
+  0-based occurrence i -> Interval(contig, i+1, i+len, strand)).
+- align(query): best-hit placements with contig/start/end/strand/NM/
+  mapping-quality, consumed by Call.sortAlignments (Call.java:1920-1944).
+- find_interval / source sidecar parity (.sources file, createIndex).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import kmer as km
+from ..io import fasta as faio
+from .sw import _gotoh, _traceback, _rle_cigar
+
+SEED_K = 15
+_SEED_MASK = np.uint32((1 << (2 * SEED_K)) - 1)
+
+
+@dataclass(frozen=True)
+class Interval:
+    contig: str
+    start: int          # 1-based inclusive
+    end: int            # 1-based inclusive
+    negative: bool = False
+
+    def __repr__(self):
+        return f"{self.contig}:{self.start}-{self.end}:{'-' if self.negative else '+'}"
+
+
+@dataclass
+class Alignment:
+    """SAMRecord stand-in with the fields Call consumes."""
+    contig: str
+    start: int                  # 1-based alignment start on the reference
+    end: int                    # 1-based inclusive alignment end
+    negative: bool
+    mapq: int
+    nm: int
+    cigar: str
+    read: str                   # read sequence in reference (forward) orientation
+    score: float = 0.0
+
+    # Java-style accessors for porting fidelity
+    def get_contig(self):
+        return self.contig
+
+    def get_alignment_start(self):
+        return self.start
+
+    def get_alignment_end(self):
+        return self.end
+
+    @property
+    def read_negative_strand(self):
+        return self.negative
+
+
+class IndexedReference:
+    """One or more reference contigs + seed index + aligner + sources."""
+
+    def __init__(self, path_or_seqs, sources=None):
+        if isinstance(path_or_seqs, (str, os.PathLike)):
+            self.path = str(path_or_seqs)
+            self.seqs = faio.read_fasta(self.path)
+            src_file = self.path + ".sources"
+            self.sources = set(sources or [])
+            if os.path.exists(src_file):
+                with open(src_file) as f:
+                    self.sources |= {line.strip() for line in f if line.strip()}
+        else:
+            self.path = None
+            self.seqs = dict(path_or_seqs)
+            self.sources = set(sources or [])
+        self.names = list(self.seqs.keys())
+        self._build_index()
+
+    @staticmethod
+    def create_index(path, *sources) -> str:
+        src = str(path) + ".sources"
+        with open(src, "w") as f:
+            for s in sources:
+                f.write(s + "\n")
+        return src
+
+    # ------------------------------------------------------------------
+    def _build_index(self):
+        packs, contigs, positions = [], [], []
+        for ci, name in enumerate(self.names):
+            seq = self.seqs[name]
+            if len(seq) < SEED_K:
+                continue
+            codes = km.string_to_codes_permissive(seq)
+            w = np.lib.stride_tricks.sliding_window_view(codes, SEED_K)
+            valid = (w < 4).all(axis=1)
+            vals = np.zeros(w.shape[0], dtype=np.uint32)
+            for j in range(SEED_K):
+                vals = (vals << np.uint32(2)) | w[:, j].astype(np.uint32)
+            idx = np.nonzero(valid)[0]
+            packs.append(vals[idx])
+            contigs.append(np.full(len(idx), ci, dtype=np.int32))
+            positions.append(idx.astype(np.int32))
+        if packs:
+            vals = np.concatenate(packs)
+            order = np.argsort(vals, kind="stable")
+            self._seed_vals = vals[order]
+            self._seed_contig = np.concatenate(contigs)[order]
+            self._seed_pos = np.concatenate(positions)[order]
+        else:
+            self._seed_vals = np.zeros(0, np.uint32)
+            self._seed_contig = np.zeros(0, np.int32)
+            self._seed_pos = np.zeros(0, np.int32)
+
+    def _seed_hits(self, seq: str, offset: int):
+        """(contig_idx[], pos[]) of exact SEED_K-mer matches at seq[offset:]."""
+        sub = seq[offset:offset + SEED_K]
+        if len(sub) < SEED_K or any(c not in "ACGT" for c in sub):
+            return np.zeros(0, np.int32), np.zeros(0, np.int32)
+        val = np.uint32(0)
+        for c in sub:
+            val = np.uint32((int(val) << 2) | "ACGT".index(c)) & _SEED_MASK
+        lo = np.searchsorted(self._seed_vals, val, side="left")
+        hi = np.searchsorted(self._seed_vals, val, side="right")
+        return self._seed_contig[lo:hi], self._seed_pos[lo:hi]
+
+    # ------------------------------------------------------------------
+    def find_interval(self, interval: Interval):
+        """Subsequence for a 1-based inclusive interval; revcomp if negative
+        (IndexedReference.find(Interval), :60-75)."""
+        seq = self.seqs.get(interval.contig)
+        if seq is None:
+            raise KeyError(f"contig {interval.contig!r} not in reference")
+        if interval.start > 0 and interval.end <= len(seq):
+            sub = seq[interval.start - 1:interval.end]
+            return km.revcomp(sub) if interval.negative else sub
+        return None
+
+    def find(self, seq: str) -> set:
+        """Perfect full-length matches as Interval set (both strands)."""
+        out = set()
+        if not seq:
+            return out
+        for negative, query in ((False, seq), (True, km.revcomp(seq))):
+            if len(query) < SEED_K:
+                # brute force for very short queries
+                for ci, name in enumerate(self.names):
+                    start = 0
+                    ref = self.seqs[name]
+                    while True:
+                        p = ref.find(query, start)
+                        if p < 0:
+                            break
+                        out.add(Interval(name, p + 1, p + len(query), negative))
+                        start = p + 1
+                continue
+            cs, ps = self._seed_hits(query, 0)
+            for ci, p in zip(cs, ps):
+                ref = self.seqs[self.names[ci]]
+                if ref[p:p + len(query)] == query:
+                    out.add(Interval(self.names[ci], int(p) + 1, int(p) + len(query), negative))
+        return out
+
+    # ------------------------------------------------------------------
+    def align(self, query: str, max_chains: int = 8, band: int = 64) -> list:
+        """Seed-chain-extend alignment; returns Alignment list sorted by score.
+
+        Mapping quality: 60 for a unique best chain, 0 when the best score is
+        tied (the uniqueness contract Call and FindContamination rely on —
+        `getMappingQuality() > 0` means confidently placed).
+        """
+        if isinstance(query, list):
+            return [self.align(q) for q in query]
+        hits: dict = {}
+        step = max(1, (len(query) - SEED_K) // 16) if len(query) > SEED_K else 1
+        for negative in (False, True):
+            qs = km.revcomp(query) if negative else query
+            for off in range(0, max(1, len(qs) - SEED_K + 1), step):
+                cs, ps = self._seed_hits(qs, off)
+                if len(cs) > 1000:
+                    continue  # repetitive seed
+                for ci, p in zip(cs, ps):
+                    diag = int(p) - off
+                    key = (int(ci), negative, diag // 32)
+                    hits.setdefault(key, []).append((off, int(p)))
+
+        # rank chains by seed count
+        chains = sorted(hits.items(), key=lambda kv: -len(kv[1]))[:max_chains]
+        alignments = []
+        for (ci, negative, _), seeds in chains:
+            name = self.names[ci]
+            ref = self.seqs[name]
+            qs = km.revcomp(query) if negative else query
+            qoff, rpos = seeds[0]
+            diag = rpos - qoff
+            r0 = max(0, diag - band)
+            r1 = min(len(ref), diag + len(qs) + band)
+            window = ref[r0:r1]
+            H, E, F, tbH, tbE, tbF = _gotoh(qs, window, local=True)
+            i, j = np.unravel_index(int(np.argmax(H)), H.shape)
+            score = float(H[i, j])
+            aq, as_, ops, i0, j0 = _traceback(qs, window, H, tbH, tbE, tbF,
+                                              int(i), int(j), True)
+            nm = sum(1 for a, b in zip(aq, as_) if a != b)
+            cigar_ops = []
+            if i0 > 0:
+                cigar_ops.append(f"{i0}S")
+            cigar_ops.append(_rle_cigar(ops))
+            if int(i) < len(qs):
+                cigar_ops.append(f"{len(qs) - int(i)}S")
+            alignments.append(Alignment(
+                contig=name, start=r0 + j0 + 1, end=r0 + int(j), negative=negative,
+                mapq=0, nm=nm, cigar="".join(cigar_ops), read=qs, score=score))
+
+        alignments.sort(key=lambda a: -a.score)
+        if alignments:
+            best = alignments[0].score
+            tied = sum(1 for a in alignments if a.score == best)
+            for a in alignments:
+                a.mapq = 60 if (a.score == best and tied == 1) else 0
+        return alignments
