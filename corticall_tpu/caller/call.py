@@ -1,0 +1,1135 @@
+"""Call — the de novo mutation caller (the reference's flagship command).
+
+Faithful port of commands/discover/call/Call.java (2452 LoC): per partition
+contig, section around novel-kmer runs, assemble parental candidate haplotypes
+(dfs + gap closing + flank extension), mosaic-align the trimmed child query
+against labelled targets with Tesserae, extract variants from the alignment
+columns (small/large bubbles, repeats, breakpoints), merge adjacent bubbles
+and paired breakends, lift coordinates onto the reference via flank
+realignment, and emit a VCF + per-ROI accounting table.
+
+Method-by-method line citations are given inline.  Deliberate deviations:
+- iteration orders that Java leaves to HashMap/HashSet hashing are made
+  deterministic (sorted/insertion order) — flagged where they occur;
+- a non-terminating loop in the reference (mergeDoubleBreakpoints kmer
+  builders, Call.java:966-987/1259-1286, which spin when the child column is
+  a gap) gets a break guard.
+"""
+
+from __future__ import annotations
+
+from .. import kmer as km
+from ..models.tesserae import Tesserae
+from ..traversal import (BOTH, FORWARD, OR, REVERSE, TraversalConfig,
+                         TraversalEngine, to_contig, to_walk)
+from ..traversal import utils as tu
+from ..traversal.stopping import ContigStopper, DestinationStopper
+from ..traversal.subgraph import Subgraph, Vertex
+from .variants import Variant, VariantSorterSet, write_vcf
+
+
+class Caller:
+    def __init__(self, graph, rois_graph, partitions, backgrounds,
+                 references=None, links=(), partition_names=None,
+                 del_=0.35, eps=0.90, rho=6e-4, term=1e-3,
+                 window=200, split_distance=2000, logger=None):
+        """partitions: [(name_header, sequence)] (FASTA order).
+        references: {background_name: IndexedReference}."""
+        self.graph = graph
+        self.rois_graph = rois_graph
+        self.partitions = partitions
+        self.backgrounds = list(backgrounds)
+        self.references = references or {}
+        self.links = list(links)
+        self.partition_names = set(partition_names) if partition_names else None
+        self.ma = Tesserae(del_, eps, rho, term)
+        self.window = window
+        self.split_distance = split_distance
+        self.k = graph.kmer_size
+        self.log = logger or (lambda *a: None)
+
+    # ------------------------------------------------------------------
+    # loaders (Call.java:2348-2381)
+    # ------------------------------------------------------------------
+    def load_rois(self) -> set:
+        return {self.rois_graph.kmer_string(i)
+                for i in range(self.rois_graph.num_records)}
+
+    def load_child_walk(self, contig: str) -> list:
+        w = []
+        seen: dict = {}
+        for i in range(len(contig) - self.k + 1):
+            sk = contig[i:i + self.k]
+            seen[sk] = seen.get(sk, -1) + 1
+            w.append(Vertex(sk, self.graph.find_record(sk), copy=seen[sk]))
+        return w
+
+    # ------------------------------------------------------------------
+    # sectioning (Call.java:2383-2452)
+    # ------------------------------------------------------------------
+    def get_regions(self, rois: set, cvs: list) -> list:
+        regions = []
+        start = -1
+        stop = 0
+        for i, v in enumerate(cvs):
+            if v.canonical in rois:
+                if start == -1:
+                    start = i
+                stop = i
+            else:
+                if start > -1:
+                    regions.append((start, stop))
+                    start = -1
+                    stop = 0
+        if start > -1:
+            regions.append((start, stop))
+        return regions
+
+    def section_contig(self, rois: set, w: list):
+        regions = self.get_regions(rois, w)
+        if not regions:
+            return None
+        sub_start = max(regions[0][0] - self.window, 0)
+        sub_stop = min(regions[-1][1] + self.window, len(w) - 1)
+        sections = []
+        for i in range(len(regions) - 1):
+            if regions[i + 1][0] - regions[i][1] > self.split_distance:
+                sections.append((sub_start, regions[i][1] + self.window))
+                sub_start = regions[i + 1][0] - self.window
+        sections.append((sub_start, sub_stop))
+        return [(a, b, w[a:b + 1]) for a, b in sections]
+
+    # ------------------------------------------------------------------
+    # candidate haplotype assembly (Call.java:2126-2263)
+    # ------------------------------------------------------------------
+    def _engine(self, colors, direction, rule, max_branch=75000):
+        return TraversalEngine(TraversalConfig(
+            graph=self.graph, traversal_colors=list(colors), direction=direction,
+            combination=OR, stopping_rule=rule, max_branch_length=max_branch,
+            links=self.links))
+
+    def assemble_candidate_haplotypes(self, ws: list, parent_name: str) -> dict:
+        colors = self.graph.colors_for_samples([parent_name])
+        g = Subgraph()
+        g_kmers: set = set()
+
+        e = self._engine(colors, BOTH, ContigStopper, max_branch=len(ws))
+
+        contigs: set = set()
+        for v in ws:
+            has_cov = any(v.rec >= 0 and self.graph.coverage(v.rec, c) > 0 for c in colors)
+            if has_cov and v.kmer not in g_kmers:
+                gs = e.dfs(v.kmer)
+                if gs is not None and gs.num_vertices() > 0:
+                    contigs.add(to_contig(to_walk(gs, v.kmer, colors[0])))
+                    g.add_graph(gs)
+                    g_kmers.update(x.kmer for x in gs.vertices())
+
+        in_ends = self.get_closeable_graph_ends(colors, g, outgoing=False)
+        out_ends = self.get_closeable_graph_ends(colors, g, outgoing=True)
+        self.close_gaps(colors, g, in_ends, out_ends)
+        self.extend_flanks(colors, g, in_ends, out_ends)
+
+        targets: dict = {}
+        if g.num_edges() > 0:
+            rep_color = colors[0]
+            walks = []
+            for cs in tu.connected_components(g):
+                w = []
+                for cv in sorted(cs, key=lambda v: (v.kmer, v.copy, v.index)):
+                    wa = to_walk(g, cv.kmer, rep_color)
+                    if len(wa) == len(w):
+                        break
+                    elif len(wa) > len(w):
+                        w = wa
+                if w:
+                    walks.append(w)
+
+            indices = {cv.canonical for cv in ws}
+            for w in walks:
+                actual_start, actual_end = None, -1
+                shared = 0
+                for i, cv in enumerate(w):
+                    if cv.canonical in indices:
+                        shared += 1
+                        if actual_start is None:
+                            actual_start = i
+                        actual_end = i
+                if actual_start is None:
+                    actual_start = 0
+                if actual_end == -1 or actual_end == actual_start:
+                    actual_end = len(w) - 1
+                if shared > 0:
+                    contigs.add(to_contig(w[actual_start:actual_end]))
+
+            i = 0
+            for contig in sorted(contigs):  # deterministic (Java: HashSet order)
+                if contig:
+                    cid = f"{parent_name}:{parent_name}_unknown:{parent_name}_contig{i}_fastasm"
+                    targets[cid] = contig
+                    i += 1
+        return targets
+
+    def get_closeable_graph_ends(self, colors, g: Subgraph, outgoing: bool) -> set:
+        ends: set = set()
+        if g.num_edges() > 0:
+            for cv in g.vertices():
+                if outgoing and len(g.successors(cv)) == 0:
+                    ends.update(g.predecessors(cv))
+                elif not outgoing and len(g.predecessors(cv)) == 0:
+                    ends.update(g.successors(cv))
+
+        ef = self._engine(colors, FORWARD, ContigStopper, max_branch=10)
+        er = self._engine(colors, REVERSE, ContigStopper, max_branch=10)
+
+        to_remove: set = set()
+        ends_sorted = sorted(ends, key=lambda v: (v.kmer, v.copy, v.index))
+        for e0 in ends_sorted:
+            for e1 in ends_sorted:
+                if e0 != e1 and e0 not in to_remove and e1 not in to_remove:
+                    rc = km.revcomp(e1.kmer)
+                    gf = ef.dfs(e0.kmer, rc)
+                    gr = er.dfs(rc, e0.kmer)
+                    if ((gf is not None and gf.num_vertices() > 0)
+                            or (gr is not None and gr.num_vertices() > 0)):
+                        to_remove.add(e0)
+                        to_remove.add(e1)
+        return ends - to_remove
+
+    def close_gaps(self, colors, g: Subgraph, in_ends, out_ends) -> None:
+        ef = self._engine(colors, FORWARD, DestinationStopper)
+        er = self._engine(colors, REVERSE, DestinationStopper)
+        for ie in sorted(in_ends, key=lambda v: v.kmer):
+            for oe in sorted(out_ends, key=lambda v: v.kmer):
+                gg = ef.dfs(ie.kmer, oe.kmer)
+                if gg is None or gg.num_vertices() == 0:
+                    gg = er.dfs(oe.kmer, ie.kmer)
+                if gg is not None and gg.num_vertices() > 0:
+                    g.add_graph(gg)
+
+    def extend_flanks(self, colors, g: Subgraph, in_ends, out_ends) -> None:
+        eb = self._engine(colors, BOTH, ContigStopper, max_branch=500)
+        for cvs in (in_ends, out_ends):
+            for cv in sorted(cvs, key=lambda v: v.kmer):
+                gg = eb.dfs(cv.kmer)
+                if gg is not None and gg.num_vertices() > 0:
+                    g.add_graph(gg)
+
+    # ------------------------------------------------------------------
+    # query trimming + target labelling (Call.java:1920-1986)
+    # ------------------------------------------------------------------
+    def sort_alignments(self, background: str, target: str) -> list:
+        if background not in self.references:
+            return []
+        a = self.references[background].align(target)
+        # stable sort: length desc, NM asc (the reference's mapq tiebreak
+        # compares s1 to itself, so it is a no-op — replicated by omission)
+        return sorted(a, key=lambda s: (-(s.end - s.start), s.nm))
+
+    def trim_query(self, ws: list, targets: dict, rois: set):
+        first_index, last_index = None, 0
+        first_novel, last_novel = -1, -1
+        pos: dict = {}
+        for i, v in enumerate(ws):
+            pos.setdefault(v.canonical, []).append(i)
+            if v.canonical in rois:
+                if first_novel == -1:
+                    first_novel = i
+                last_novel = i
+
+        for target in targets.values():
+            for i in range(len(target) - self.k + 1):
+                ck = min(target[i:i + self.k], km.revcomp(target[i:i + self.k]))
+                if ck in pos:
+                    fi, li = pos[ck][0], pos[ck][-1]
+                    if first_index is None or fi < first_index:
+                        first_index = fi
+                    if li > last_index:
+                        last_index = li
+
+        if first_index is None:
+            first_index = 2 ** 31 - 1
+        if first_novel < first_index:
+            first_index = first_novel
+        if last_novel > last_index:
+            last_index = last_novel
+        return first_index, last_index + 1, to_contig(ws[first_index:last_index + 1])
+
+    def label_targets(self, targets: dict) -> dict:
+        labelled: dict = {}
+        target_num = 0
+        for c in targets:
+            back = c.split(":")[0]
+            if back in self.references:
+                ss = self.sort_alignments(back, targets[c])
+                if ss:
+                    s = ss[0]
+                    label = (f"{back}:{s.contig}:{s.start}-{s.end}:"
+                             f"{'-' if s.negative else '+'}")
+                    labelled[label] = targets[c]
+                else:
+                    labelled[f"{back}:unknown{target_num}"] = targets[c]
+                    target_num += 1
+        return labelled
+
+    # ------------------------------------------------------------------
+    # lps column helpers (Call.java:1988-2065)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def num_columns(lps) -> int:
+        return len(lps[0][1])
+
+    @staticmethod
+    def child_column(lps, column) -> str:
+        if 0 <= column < len(lps[0][1]):
+            c = lps[0][1][column]
+            if c != " ":
+                return c
+        return "N"
+
+    @staticmethod
+    def parental_column(lps, column) -> str:
+        if 0 <= column < len(lps[0][1]):
+            for i in range(1, len(lps)):
+                if column < len(lps[i][1]) and lps[i][1][column] != " ":
+                    return lps[i][1][column]
+        return "N"
+
+    @staticmethod
+    def parental_row(lps, column) -> int:
+        if 0 <= column < len(lps[0][1]):
+            for i in range(1, len(lps)):
+                if column < len(lps[i][1]) and lps[i][1][column] != " ":
+                    return i
+        return 0
+
+    @staticmethod
+    def is_recomb(lps, column) -> bool:
+        if len(lps) > 2:
+            for i in range(1, len(lps) - 1):
+                t_i, t_n = lps[i][1], lps[i + 1][1]
+                if (column == len(t_i) - 1 and t_i[column] != " "
+                        and column + 1 < len(t_n) and t_n[column] == " "
+                        and t_n[column + 1] != " "):
+                    return True
+        return False
+
+    @staticmethod
+    def recomb_partners(lps, column):
+        if len(lps) > 2:
+            for i in range(1, len(lps) - 1):
+                t_i, t_n = lps[i][1], lps[i + 1][1]
+                if (column == len(t_i) - 1 and t_i[column] != " "
+                        and column + 1 < len(t_n) and t_n[column] == " "
+                        and t_n[column + 1] != " "):
+                    return i, i + 1
+        return -1, -1
+
+    # ------------------------------------------------------------------
+    # novelty track (Call.java:2067-2124)
+    # ------------------------------------------------------------------
+    def make_novelty_track(self, rois, lps, expand: bool) -> str:
+        query = lps[0][1].replace("-", "").replace(" ", "")
+        sb = [" "] * (len(query) + 1)
+        for i in range(len(query) - self.k + 1):
+            ck = min(query[i:i + self.k], km.revcomp(query[i:i + self.k]))
+            if ck in rois:
+                for j in range(i, i + self.k):
+                    sb[j] = "*"
+
+        for i in range(self.num_columns(lps)):
+            if self.child_column(lps, i) == "-":
+                sb.insert(i, "*" if (i < len(sb) and sb[i] == "*") else " ")
+
+        if expand:
+            for i in range(1, self.num_columns(lps)):
+                if i < len(sb) and sb[i] == "*":
+                    if sb[i - 1] != "*" and self.parental_column(lps, i - 1) == "-":
+                        j = i - 1
+                        while j >= 0 and self.parental_column(lps, j) == "-":
+                            sb[j] = "*"
+                            j -= 1
+                    if i + 1 < len(sb) and sb[i + 1] != "*" and self.parental_column(lps, i + 1) == "-":
+                        j = i + 1
+                        while j < self.num_columns(lps) and self.parental_column(lps, j) == "-":
+                            if j < len(sb):
+                                sb[j] = "*"
+                            j += 1
+        return "".join(sb)
+
+    def novelty_regions(self, rois, lps, expand: bool) -> list:
+        track = self.make_novelty_track(rois, lps, expand)
+        regions = []
+        start = -1
+        stop = len(track) - 1
+        for i, c in enumerate(track):
+            if c == "*":
+                if start == -1:
+                    start = i
+                stop = i
+            else:
+                if start >= 0:
+                    regions.append((start, stop))
+                    start = -1
+                    stop = len(track) - 1
+        if start >= 0:
+            regions.append((start, stop))
+        return regions
+
+    # ------------------------------------------------------------------
+    # child flank helper shared by the callers
+    # ------------------------------------------------------------------
+    def _child_hap(self, lps, nr) -> str:
+        child_left = nr[0]
+        num_left = 0
+        while child_left > 0 and num_left <= self.k:
+            if self.child_column(lps, child_left) != "-":
+                num_left += 1
+            child_left -= 1
+            if not (child_left > 0 and num_left <= self.k):
+                break
+        # faithful port of the for-loop bounds (Call.java:1409-1424)
+        child_left = nr[0]
+        num_left = 0
+        while child_left > 0 and num_left <= self.k:
+            if self.child_column(lps, child_left) != "-":
+                num_left += 1
+            child_left -= 1
+        child_right = nr[1]
+        num_right = 0
+        while child_right < len(lps[0][1]) and num_right <= self.k:
+            if self.child_column(lps, child_right) != "-":
+                num_right += 1
+            child_right += 1
+        return lps[0][1][child_left:child_right].replace("-", "")
+
+    # ------------------------------------------------------------------
+    # variant extractors (Call.java:1367-1790)
+    # ------------------------------------------------------------------
+    def call_small_bubbles(self, lps, nrs, contig_name, section_start, section_stop) -> list:
+        vcbs = []
+        for nr in nrs:
+            start = nr[0] - 1
+            prev_base = self.child_column(lps, start)
+            prev_row = self.parental_row(lps, start)
+            c_builder = None
+            p_builder = None
+            for i in range(nr[0], nr[1] + 1):
+                child_c = self.child_column(lps, i)
+                parent_c = self.parental_column(lps, i)
+                if child_c.upper() == parent_c.upper() or i == self.num_columns(lps) - 1:
+                    if c_builder is not None:
+                        if i == self.num_columns(lps) - 1:
+                            if child_c != "-":
+                                c_builder.append(child_c)
+                            if parent_c != "-":
+                                p_builder.append(parent_c)
+                            c_builder.append(".")
+
+                        cb = "".join(c_builder)
+                        pb = "".join(p_builder)
+                        is_symbolic_start = len(cb) > 0 and cb[0] == "."
+                        is_symbolic_end = len(cb) > 0 and cb[-1] == "."
+
+                        variant_start = section_start + start
+                        variant_stop = section_start + i
+                        next_base = "N" if i == self.num_columns(lps) - 1 else child_c
+                        next_row = self.parental_row(lps, i)
+
+                        if len(cb) == len(pb) and len(cb) == 1:
+                            variant_start += 1
+                            variant_stop -= 1
+                        else:
+                            if not is_symbolic_start:
+                                cb = prev_base + cb
+                                pb = prev_base + pb
+                            else:
+                                variant_start = variant_stop
+                                start = i
+                                cb = cb + next_base
+                                pb = pb + next_base
+
+                        child_hap = self._child_hap(lps, nr)
+                        row = next_row if prev_row == 0 else prev_row
+                        back = lps[row][0].split(":")[0] if row > 0 else "unknown"
+
+                        vcb = Variant(
+                            chrom=contig_name, start=variant_start,
+                            alleles=[pb, cb],
+                            attributes={
+                                "start": start, "stop": i,
+                                "sectionStart": section_start,
+                                "sectionStop": section_stop,
+                                "variantStart": variant_start,
+                                "variantStop": variant_stop,
+                                "prevBase": prev_base, "nextBase": next_base,
+                                "CALL_FUNC": "smallBubble",
+                                "CHILD_HAP": child_hap,
+                                "PARTITION_NAME": contig_name,
+                                "BACKGROUND": back,
+                            })
+                        if is_symbolic_start or is_symbolic_end:
+                            vcb.stop = variant_stop
+                            vcb.attr("SVTYPE", "BND")
+                        else:
+                            vcb.compute_end_from_alleles(variant_start)
+                        vcbs.append(vcb)
+
+                    prev_base = child_c
+                    start = i
+                    c_builder = None
+                    p_builder = None
+                else:
+                    if c_builder is None:
+                        c_builder = []
+                    if p_builder is None:
+                        p_builder = []
+                    if i == 0:
+                        c_builder.insert(0, ".")
+                    if child_c != "-":
+                        c_builder.append(child_c)
+                    if parent_c != "-":
+                        p_builder.append(parent_c)
+        return vcbs
+
+    def _recomb_flank_bases(self, lps, i):
+        q = -1
+        prev_base = "-"
+        while True:
+            q += 1
+            prev_base = self.parental_column(lps, i - q).upper()
+            if not (prev_base == "-" and i - q > 1):
+                break
+        q = -1
+        next_base = "-"
+        while True:
+            q += 1
+            next_base = self.parental_column(lps, i + 1 + q).upper()
+            if next_base != "-":
+                break
+        return prev_base, next_base
+
+    def call_large_bubbles(self, lps, nrs, targets, contig_name, section_start, section_stop) -> list:
+        vcbs = []
+        for nr in nrs:
+            for i in range(nr[0], nr[1] + 1):
+                if self.is_recomb(lps, i):
+                    pa, pb_ = self.recomb_partners(lps, i)
+                    name0, name1 = lps[pa][0], lps[pb_][0]
+                    if name0 == name1:
+                        target = targets.get(name0)
+                        start = lps[pa][2][1] + 1
+                        stop = lps[pb_][2][0]
+                        if target is not None and stop > start:
+                            variant_start = section_start + i
+                            variant_stop = section_start + i + 1
+                            prev_base, next_base = self._recomb_flank_bases(lps, i)
+                            subtarget = target[start:stop]
+                            alleles = [prev_base, prev_base + subtarget]
+                            back = name0.split(":")[0]
+                            child_hap = self._child_hap(lps, nr)
+                            vcb = Variant(
+                                chrom=contig_name, start=variant_start,
+                                alleles=alleles,
+                                attributes={
+                                    "start": i, "stop": i + 1,
+                                    "sectionStart": section_start,
+                                    "sectionStop": section_stop,
+                                    "variantStart": variant_start,
+                                    "variantStop": variant_stop,
+                                    "prevBase": prev_base, "nextBase": next_base,
+                                    "CALL_FUNC": "largeBubble",
+                                    "CHILD_HAP": child_hap,
+                                    "PARTITION_NAME": contig_name,
+                                    "BACKGROUND": back,
+                                }).compute_end_from_alleles(section_start + i)
+                            vcbs.append(vcb)
+        return vcbs
+
+    def call_repeats(self, lps, nrs, targets, contig_name, section_start, section_stop) -> list:
+        vcbs = []
+        for nr in nrs:
+            for i in range(nr[0], nr[1] + 1):
+                if self.is_recomb(lps, i):
+                    pa, pb_ = self.recomb_partners(lps, i)
+                    name0, name1 = lps[pa][0], lps[pb_][0]
+                    if name0 == name1:
+                        target = targets.get(name0)
+                        start0, stop0 = lps[pa][2][0], lps[pa][2][1] + 1
+                        start1, stop1 = lps[pb_][2][0], lps[pb_][2][1] + 1
+                        if target is not None and start0 == start1 and stop0 == stop1:
+                            variant_start = section_start + i
+                            variant_stop = section_start + i + 1
+                            prev_base, next_base = self._recomb_flank_bases(lps, i)
+                            subtarget = target[start0:stop0]
+                            alleles = [prev_base, prev_base + subtarget]
+                            back = name0.split(":")[0]
+                            child_hap = self._child_hap(lps, nr)
+                            vcb = Variant(
+                                chrom=contig_name, start=variant_start,
+                                alleles=alleles,
+                                attributes={
+                                    "start": i, "stop": i + 1,
+                                    "sectionStart": section_start,
+                                    "sectionStop": section_stop,
+                                    "variantStart": variant_start,
+                                    "variantStop": variant_stop,
+                                    "prevBase": prev_base, "nextBase": next_base,
+                                    "CALL_FUNC": "repeats",
+                                    "CHILD_HAP": child_hap,
+                                    "PARTITION_NAME": contig_name,
+                                    "BACKGROUND": back,
+                                }).compute_end_from_alleles(section_start + i)
+                            vcbs.append(vcb)
+        return vcbs
+
+    def call_breakpoints(self, lps, nrs, contig_name, section_start, section_stop) -> list:
+        vcbs = []
+        for nr in nrs:
+            for i in range(nr[0], nr[1] + 1):
+                if self.is_recomb(lps, i):
+                    pa, pb_ = self.recomb_partners(lps, i)
+                    name0, name1 = lps[pa][0], lps[pb_][0]
+                    if name0 != name1:
+                        prev_pos, next_pos = i, i + 1
+                        next_ins = []
+                        while self.parental_column(lps, prev_pos) == "-":
+                            next_ins.insert(0, self.child_column(lps, prev_pos))
+                            prev_pos -= 1
+                        next_ins.insert(0, self.child_column(lps, prev_pos))
+                        prev_base = self.child_column(lps, prev_pos)
+
+                        prev_ins = []
+                        while self.parental_column(lps, next_pos) == "-":
+                            prev_ins.append(self.child_column(lps, next_pos))
+                            next_pos += 1
+                        prev_ins.append(self.child_column(lps, next_pos))
+                        next_base = self.child_column(lps, next_pos)
+
+                        a0 = [prev_base, "]" + name1 + ":" + str(next_pos) + "]" + "".join(next_ins)]
+                        a1 = [next_base, "".join(prev_ins) + "[" + name0 + ":" + str(prev_pos) + "["]
+
+                        mate0 = f"bnd_{contig_name}_{section_start + prev_pos}"
+                        mate1 = f"bnd_{contig_name}_{section_start + next_pos}"
+                        back0 = name0.split(":")[0]
+                        back1 = name1.split(":")[0]
+                        child_hap = self._child_hap(lps, nr)
+
+                        common = {
+                            "sectionStart": section_start, "sectionStop": section_stop,
+                            "prevBase": prev_base, "nextBase": next_base,
+                            "CHILD_HAP": child_hap, "PARTITION_NAME": contig_name,
+                            "SVTYPE": "BND",
+                        }
+                        vcb0 = Variant(
+                            chrom=contig_name, start=section_start + prev_pos,
+                            stop=section_start + prev_pos, alleles=a0, id_=mate0,
+                            attributes={**common,
+                                        "start": prev_pos, "stop": prev_pos + 1,
+                                        "variantStart": section_start + prev_pos,
+                                        "variantStop": section_start + prev_pos,
+                                        "targetName": name0,
+                                        "targetStart": lps[pa][2][0],
+                                        "targetStop": lps[pa][2][1],
+                                        "CALL_FUNC": "breakpoints",
+                                        "BACKGROUND": back0,
+                                        "MATEID": mate1})
+                        vcb1 = Variant(
+                            chrom=contig_name, start=section_start + next_pos,
+                            stop=section_start + next_pos, alleles=a1, id_=mate1,
+                            attributes={**common,
+                                        "start": next_pos, "stop": next_pos + 1,
+                                        "variantStart": section_start + next_pos,
+                                        "variantStop": section_start + next_pos,
+                                        "targetName": name1,
+                                        "targetStart": lps[pb_][2][0],
+                                        "targetStop": lps[pb_][2][1],
+                                        "BACKGROUND": back1,
+                                        "MATEID": mate0})
+                        vcbs.append(vcb0)
+                        vcbs.append(vcb1)
+        return vcbs
+
+    # ------------------------------------------------------------------
+    # merging (Call.java:615-683, 1233-1365)
+    # ------------------------------------------------------------------
+    def merge_bubbles(self, lps, calls: list) -> list:
+        if len(calls) <= 1:
+            return calls
+        merged = []
+        i = 0
+        while i < len(calls):
+            if i + 1 <= len(calls) - 1:
+                start0 = calls[i].get_attr("start", 0)
+                stop0 = calls[i].get_attr("stop", 0)
+                stop1 = calls[i + 1].get_attr("stop", 500)
+                start1 = calls[i + 1].get_attr("start", 500)
+                if (start1 - stop0 < 10 and not calls[i].is_symbolic_or_sv()
+                        and not calls[i + 1].is_symbolic_or_sv()):
+                    cb, pb = [], []
+                    for j in range(start0, stop1):
+                        c = self.child_column(lps, j)
+                        p = self.parental_column(lps, j)
+                        if c != "-":
+                            cb.append(c)
+                        if p != "-":
+                            pb.append(p)
+                    if cb and pb:
+                        cbs, pbs = "".join(cb), "".join(pb)
+                        prev_base = self.child_column(lps, start0)
+                        next_base = self.child_column(lps, stop1)
+                        section_start = calls[i].get_attr("sectionStart", 0)
+                        vcb = calls[i].copy()
+                        vcb.alleles = [pbs, cbs]
+                        vcb.start = section_start + start0
+                        vcb.compute_end_from_alleles(section_start + start0)
+                        vcb.attr("start", start0).attr("stop", stop1)
+                        vcb.attr("variantStart", section_start + start0)
+                        vcb.attr("variantStop", section_start + stop1)
+                        vcb.attr("prevBase", prev_base).attr("nextBase", next_base)
+                        if len(cbs) > 1 and cbs[1:] == km.revcomp(pbs[1:]):
+                            vcb.attr("SVTYPE", "INV")
+                        merged.append(vcb)
+                        i += 2
+                        continue
+                    merged.append(calls[i])
+                else:
+                    merged.append(calls[i])
+            else:
+                merged.append(calls[i])
+            i += 1
+        return merged
+
+    def merge_double_breakpoints(self, seq: str, callset: VariantSorterSet) -> VariantSorterSet:
+        calls = callset.to_list()
+        if len(calls) <= 1:
+            return callset
+
+        bnds = [c for c in calls
+                if c.is_symbolic_or_sv() and c.get_attr("SVTYPE", "unknown") == "BND"]
+
+        replacements: dict = {}
+        removals: set = set()
+
+        if len(bnds) >= 4 and len(bnds) % 2 == 0:
+            for i in range(0, len(bnds) - 1, 2):
+                outer0, inner0 = bnds[i], bnds[i + 1]
+                lps0 = outer0.get_attr("lps")
+                pos0 = outer0.get_attr("start", 0)
+                kmer0 = []
+                while len(kmer0) < self.k:
+                    c = self.child_column(lps0, pos0)
+                    if c != "-" and c != " ":
+                        kmer0.insert(0, c)
+                    else:
+                        break  # guard: the reference would spin forever here
+                q0 = self.parental_row(lps0, pos0)
+
+                for j in range(i + 2, len(bnds) - 1, 2):
+                    inner1, outer1 = bnds[j], bnds[j + 1]
+                    lps1 = outer1.get_attr("lps")
+                    pos1 = outer1.get_attr("start", 0)
+                    kmer1 = []
+                    while len(kmer1) < self.k and pos1 < len(lps1[0][1]):
+                        c = self.child_column(lps1, pos1)
+                        if c != "-" and c != " ":
+                            kmer1.append(c)
+                        else:
+                            break  # guard (see above)
+                    q1 = self.parental_row(lps1, pos1)
+
+                    back0 = lps0[q0][0].split(":")[0]
+                    back1 = lps1[q1][0].split(":")[0]
+                    if back0 != back1:
+                        continue
+                    for parent_name in self.backgrounds:
+                        if (back0 in parent_name
+                                and self.parental_row(lps0, pos0 + 1) == self.parental_row(lps1, pos1 - 1)):
+                            inner_row = self.parental_row(lps0, pos0 + 1)
+                            ref_rev = lps0[self.parental_row(lps0, pos0)][0].endswith("-")
+                            alt_rev = lps0[inner_row][0].endswith("-")
+
+                            sbalt, sbref = [], []
+                            for f in range(pos0 + 1, pos1):
+                                sbalt.append(self.child_column(lps0, f))
+                                sbref.append(self.parental_column(lps0, f))
+                            alt = "".join(sbalt)
+                            ref = "".join(sbref)
+                            if ref_rev:
+                                ref = km.revcomp(ref)
+                            if alt_rev:
+                                alt = km.revcomp(alt)
+                            alt = alt.replace("-", "")
+                            ref = ref.replace("-", "")
+
+                            svtype = "unknown"
+                            if len(alt) > len(ref):
+                                svtype = "INS"
+                            elif len(alt) < len(ref):
+                                svtype = "DEL"
+                            else:
+                                svtype = "MNP"
+                            if ref_rev != alt_rev and ref == km.revcomp(alt):
+                                svtype = "INV"
+
+                            if (alt or ref) and ref.upper() != alt.upper():
+                                vcb = outer0.copy()
+                                vcb.alleles = [ref, alt]
+                                vcb.compute_end_from_alleles(outer0.start)
+                                vcb.attr("SVTYPE", svtype)
+                                vcb.attr("prevBase", outer0.get_attr("prevBase", "N"))
+                                vcb.attr("nextBase", outer1.get_attr("nextBase", "N"))
+                                vcb.rm_attrs(["MATEID"])
+                                vcb.id_ = outer0.id_
+                                replacements[outer0.id_] = vcb
+                                replacements[inner0.id_] = None
+                                replacements[inner1.id_] = None
+                                replacements[outer1.id_] = None
+                                for v in (outer0, inner0, inner1, outer1):
+                                    removals.add((v.chrom, v.start))
+
+        out = VariantSorterSet(callset.seq_index)
+        for vcb in calls:
+            if not vcb.is_symbolic() and (vcb.chrom, vcb.start) in removals:
+                continue
+            if vcb.id_ not in replacements:
+                out.add(vcb)
+            elif replacements[vcb.id_] is not None:
+                out.add(replacements[vcb.id_])
+        return out
+
+    # ------------------------------------------------------------------
+    # coordinate assignment (Call.java:313-613)
+    # ------------------------------------------------------------------
+    def _flank_up(self, lps, start):
+        """Parental flank ending at `start` on the same parental row."""
+        row = self.parental_row(lps, start)
+        flank = []
+        q = start
+        while q >= 0 and self.parental_row(lps, q) == row:
+            c = self.parental_column(lps, q)
+            if c != "-":
+                flank.insert(0, c)
+            q -= 1
+        return lps[row][0].split(":")[0], "".join(flank)
+
+    def _flank_down(self, lps, stop):
+        while (self.parental_column(lps, stop) == "-"
+               and stop < len(lps[0][1])):
+            stop += 1
+        row = self.parental_row(lps, stop)
+        flank = []
+        q = stop
+        while q < len(lps[0][1]) and self.parental_row(lps, q) == row:
+            c = self.parental_column(lps, q)
+            if c != "-":
+                flank.append(c)
+            q += 1
+        return lps[row][0].split(":")[0], "".join(flank), stop
+
+    def assign_coordinates_all(self, calls: VariantSorterSet) -> VariantSorterSet:
+        out = VariantSorterSet(calls.seq_index)
+        bnds = []
+        for vcb in calls:
+            if vcb.get_attr("MATEID") is None:
+                out.add(self.assign_coordinates_one(vcb))
+            else:
+                bnds.append(vcb)
+        bnds.sort(key=lambda v: v.start)
+        for i in range(0, len(bnds) - 1, 2):
+            for v in self.assign_coordinates_pair(bnds[i], bnds[i + 1]):
+                out.add(v)
+        return out
+
+    def assign_coordinates_pair(self, vcb0: Variant, vcb1: Variant):
+        if vcb0.get_attr("MATEID", "") == vcb1.id_:
+            lps = vcb0.get_attr("lps")
+
+            start0 = vcb0.get_attr("start", 0) + (1 if vcb0.is_snp() else 0)
+            prev_back, prev_flank = self._flank_up(lps, start0)
+            prev_srs = self.sort_alignments(prev_back, prev_flank)
+            prev_sr = prev_srs[0] if prev_srs else None
+            if prev_sr is not None:
+                # NB: the reference's +1s compensate jbwa's 0-based starts
+                # (see IndexedReference.find, KmerLookupTest); our Alignment
+                # is 1-based so the +1 is already folded in.
+                vcb0.attr("prevChrom", prev_sr.contig)
+                vcb0.attr("prevStart", prev_sr.ref_pos_at_read_pos(1))
+                vcb0.attr("prevStop", prev_sr.ref_pos_at_read_pos(prev_sr.read_length))
+                vcb0.attr("prevStrand", "-" if prev_sr.negative else "+")
+                vcb0.chrom = prev_sr.contig
+                if prev_sr.negative:
+                    vcb0.start = prev_sr.start
+                    vcb0.stop = prev_sr.start
+                else:
+                    vcb0.start = prev_sr.end
+                    vcb0.stop = prev_sr.end
+                vcb0.attr("flankMappingQuality", prev_sr.mapq)
+
+            start1 = vcb1.get_attr("start", 0) - (1 if vcb1.is_snp() else 0)
+            next_back, next_flank, _ = self._flank_down(lps, start1)
+            next_srs = self.sort_alignments(next_back, next_flank)
+            next_sr = next_srs[0] if next_srs else None
+            if next_sr is not None:
+                vcb1.attr("nextChrom", next_sr.contig)
+                vcb1.attr("nextStart", next_sr.ref_pos_at_read_pos(1))
+                vcb1.attr("nextStop", next_sr.ref_pos_at_read_pos(next_sr.read_length))
+                vcb1.attr("nextStrand", "-" if next_sr.negative else "+")
+                vcb1.chrom = next_sr.contig
+                if next_sr.negative:
+                    vcb1.start = next_sr.end
+                    vcb1.stop = next_sr.end
+                else:
+                    vcb1.start = next_sr.start - 1
+                    vcb1.stop = next_sr.start - 1
+                vcb1.attr("flankMappingQuality", next_sr.mapq)
+        return [vcb0, vcb1]
+
+    def assign_coordinates_one(self, vcb: Variant) -> Variant:
+        vcbn = vcb.copy()
+        lps = vcbn.get_attr("lps")
+
+        start = vcbn.get_attr("start", 0) + (1 if vcbn.is_snp() else 0)
+        prev_back, prev_flank = self._flank_up(lps, start)
+        prev_srs = self.sort_alignments(prev_back, prev_flank)
+        prev_sr = prev_srs[0] if prev_srs else None
+        if prev_sr is not None:
+            vcbn.attr("prevChrom", prev_sr.contig)
+            vcbn.attr("prevStart", prev_sr.ref_pos_at_read_pos(1))
+            vcbn.attr("prevStop", prev_sr.ref_pos_at_read_pos(prev_sr.read_length))
+            vcbn.attr("prevStrand", "-" if prev_sr.negative else "+")
+
+        stop = vcbn.get_attr("stop", 0) - (1 if vcbn.is_snp() else 0)
+        next_back, next_flank, _ = self._flank_down(lps, stop)
+        next_srs = self.sort_alignments(next_back, next_flank)
+        next_sr = next_srs[0] if next_srs else None
+
+        if prev_sr is not None and next_srs:
+            for nsr in next_srs:
+                if prev_sr.contig == nsr.contig:
+                    next_sr = nsr
+                    break
+
+        if next_sr is not None:
+            vcbn.attr("nextChrom", next_sr.contig)
+            vcbn.attr("nextStart", next_sr.ref_pos_at_read_pos(1))
+            vcbn.attr("nextStop", next_sr.ref_pos_at_read_pos(next_sr.read_length))
+            vcbn.attr("nextStrand", "-" if next_sr.negative else "+")
+
+        sr, srs = None, None
+        align_start = 0
+        if prev_sr is not None and next_sr is not None:
+            if prev_sr.start < next_sr.start:
+                next_sr = None
+            else:
+                prev_sr = None
+        if prev_sr is not None:
+            sr, srs = prev_sr, prev_srs
+            align_start = sr.start if sr.negative else sr.end
+        elif next_sr is not None:
+            sr, srs = next_sr, next_srs
+            align_start = sr.end if sr.negative else sr.start - 1
+
+        if sr is not None:
+            flip = sr.negative
+            alleles = list(vcbn.alleles)
+
+            vcbn.chrom = sr.contig
+            old_span = vcb.stop - vcb.start
+            vcbn.start = align_start
+            vcbn.stop = align_start + old_span
+            vcbn.attr("flankMappingQuality", sr.mapq)
+
+            if flip:
+                alleles_rc = []
+                for a in alleles:
+                    pieces = _split_breakend(a)
+                    for pi, piece in enumerate(pieces):
+                        if _is_seq_piece(piece):
+                            pieces[pi] = km.revcomp(piece)
+                    new_allele = "".join(pieces)
+                    if not vcbn.is_snp() and not vcbn.is_symbolic():
+                        new_ref_base = km.revcomp(sr.read[0])
+                        new_allele = new_ref_base + new_allele[:-1]
+                    alleles_rc.append(new_allele)
+                alleles = alleles_rc
+
+            alleles_revised = []
+            for a in alleles:
+                pieces = _split_breakend(a)
+                if len(pieces) == 4:
+                    newpieces = [None] * 4
+                    if _is_seq_piece(pieces[3]):
+                        newpieces[0] = pieces[3]
+                        newpieces[1] = "]" if pieces[0] == "[" else "["
+                        newpieces[2] = pieces[1]
+                        newpieces[3] = "]" if pieces[2] == "[" else "["
+                        mate_locus_index = 2
+                        contig_piece = pieces[1]
+                    else:
+                        newpieces[0] = "]" if pieces[1] == "[" else "["
+                        newpieces[1] = pieces[2]
+                        newpieces[2] = "]" if pieces[3] == "[" else "["
+                        newpieces[3] = pieces[0]
+                        mate_locus_index = 1
+                        contig_piece = pieces[2]
+                    subpieces = contig_piece.split(":")
+                    back = subpieces[0]
+                    contig_name = ":".join(subpieces[:3]) if len(subpieces) >= 3 else contig_piece
+                    for m in range(1, len(lps)):
+                        if lps[m][0] == contig_name:
+                            if back in self.references:
+                                mrs = self.sort_alignments(back, lps[m][1].replace(" ", ""))
+                                if mrs:
+                                    mr = mrs[0]
+                                    newpos = mr.ref_pos_at_read_pos(1) - 1
+                                    newpieces[mate_locus_index] = f"{mr.contig}:{newpos}"
+                            break
+                    alleles_revised.append("".join(newpieces))
+                else:
+                    alleles_revised.append(a)
+
+            vcbn.alleles = alleles_revised
+            vcbn.attr("flipped", flip)
+            alt_loci = [f"{sra.contig}:{sra.start}" for sra in srs]
+            vcbn.attr("alt_loci", ",".join(alt_loci))
+        return vcbn
+
+    # ------------------------------------------------------------------
+    # main loop (Call.java:101-258) + VCF emission (:1792-1827)
+    # ------------------------------------------------------------------
+    def sequence_dictionary(self) -> list:
+        """[(name, length)] merged across references + <ref>_unknown entries
+        (Call.java:1890-1906)."""
+        out = []
+        seen = set()
+        for rid, ir in self.references.items():
+            for name, seq in ir.seqs.items():
+                if name not in seen:
+                    out.append((name, len(seq)))
+                    seen.add(name)
+            unk = f"{rid}_unknown"
+            if unk not in seen:
+                out.append((unk, len(self.partitions)))
+                seen.add(unk)
+        return out
+
+    def call(self):
+        """Run the full pipeline.  Returns (variants list, accounting dict)."""
+        rois = self.load_rois()
+        rseqs = [(h, s) for h, s in self.partitions
+                 if self.partition_names is None or h.split(" ")[0] in self.partition_names]
+
+        sd = self.sequence_dictionary()
+        seq_index = {name: i for i, (name, _) in enumerate(sd)}
+        svcs = VariantSorterSet(seq_index)
+
+        for rseq_index, (header, seq) in enumerate(rseqs):
+            contig_name = header.split(" ")[0]
+            w = self.load_child_walk(seq)
+            sections = self.section_contig(rois, w)
+            vcs = VariantSorterSet(seq_index)
+
+            if sections is None:
+                self.log(f"partition {rseq_index} skipped (no novel kmers)")
+            else:
+                self.log(f"partition {rseq_index}: {len(sections)} sections")
+                for section_index, (sec_start, sec_stop, ws) in enumerate(sections):
+                    targets: dict = {}
+                    for parent_name in self.backgrounds:
+                        targets.update(self.assemble_candidate_haplotypes(ws, parent_name))
+
+                    if not targets:
+                        continue
+                    tq_start, tq_stop, tq_seq = self.trim_query(ws, targets, rois)
+                    labelled = self.label_targets(targets)
+                    if not labelled:
+                        continue
+
+                    lps = self.ma.align(tq_seq, labelled)
+                    nrs = self.novelty_regions(rois, lps, True)
+
+                    calls = []
+                    calls += self.call_small_bubbles(lps, nrs, contig_name,
+                                                     sec_start + tq_start, sec_stop + tq_start)
+                    calls += self.call_large_bubbles(lps, nrs, labelled, contig_name,
+                                                     sec_start + tq_start, sec_stop + tq_start)
+                    calls += self.call_repeats(lps, nrs, labelled, contig_name,
+                                               sec_start + tq_start, sec_stop + tq_start)
+                    calls += self.call_breakpoints(lps, nrs, contig_name,
+                                                   sec_start + tq_start, sec_stop + tq_start)
+
+                    merged = self.merge_bubbles(lps, calls)
+
+                    section_rois = sorted(
+                        ck for ck in (
+                            min(tq_seq[i:i + self.k], km.revcomp(tq_seq[i:i + self.k]))
+                            for i in range(len(tq_seq) - self.k + 1))
+                        if ck in rois)
+
+                    survivors = []
+                    for vcb in merged:
+                        vcb.attr("targets", targets)
+                        vcb.attr("lps", lps)
+                        vcb.attr("sectionIndex", section_index)
+                        vcb.attr("novels", ",".join(section_rois))
+                        if (len(vcb.alleles) >= 2
+                                and vcb.alleles[0] == vcb.alleles[1]):
+                            continue
+                        survivors.append(vcb)
+                    vcs.add_all(survivors)
+
+            vcs = self.merge_double_breakpoints(seq, vcs)
+            vcs = self.assign_coordinates_all(vcs)
+
+            for vcb in vcs:
+                vcb.rm_attrs(["targets", "lps"])
+                if not vcb.is_filtered():
+                    svcs.add(vcb)
+
+        return svcs.to_list(), rois
+
+    def write_outputs(self, vcf_path, accounting_path):
+        variants, rois = self.call()
+        sd = self.sequence_dictionary()
+
+        acct = {ck: "absent" for ck in rois}
+        final = []
+        for variant_id, vc in enumerate(variants):
+            cc_id = f"CC{variant_id}"
+            out_vc = vc.copy()
+            out_vc.rm_attrs(["novels"])
+            out_vc.attr("CALL_ID", variant_id)
+            final.append(out_vc)
+            for sk in vc.get_attr("novels", "").split(","):
+                if sk and sk in acct:
+                    acct[sk] = cc_id
+
+        write_vcf(vcf_path, final, sd)
+        with open(accounting_path, "w") as f:
+            for ck in sorted(acct):
+                f.write(f"{ck}\t{acct[ck]}\n")
+        return final, acct
+
+
+def _split_breakend(allele: str) -> list:
+    """Split an allele string on '[' / ']' keeping the delimiters
+    (the reference's lookahead/lookbehind regex split, Call.java:506)."""
+    out = []
+    cur = []
+    for ch in allele:
+        if ch in "[]":
+            if cur:
+                out.append("".join(cur))
+                cur = []
+            out.append(ch)
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _is_seq_piece(piece: str) -> bool:
+    import re
+    return bool(re.match(r"^(\.?)[ACTGacgt]+(\.?)$", piece))

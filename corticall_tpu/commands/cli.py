@@ -146,6 +146,29 @@ def cmd_index_links(args):
     lkio.write_links(args.out, data)
 
 
+def cmd_call(args):
+    from ..caller.call import Caller
+    from ..io import fasta as faio
+    from ..models.reference_index import IndexedReference
+
+    g = gr.CortexGraph.load(args.graph)
+    rois = gr.CortexGraph.load(args.rois)
+    partitions = faio.read_fasta_full_headers(args.partitions)
+    references = {}
+    for spec in (args.references or []):
+        name, path = spec.split(":", 1)
+        references[name] = IndexedReference(path)
+    caller = Caller(
+        g, rois, partitions, backgrounds=args.backgrounds,
+        references=references, links=_load_links(args.links),
+        partition_names=args.partitionName,
+        del_=args.del_, eps=args.eps, rho=args.rho, term=args.term,
+        window=args.window, split_distance=args.distance,
+        logger=lambda *a: print(*a, file=sys.stderr),
+    )
+    caller.write_outputs(args.out, args.accountingOut)
+
+
 class _out_stream:
     def __init__(self, path):
         self.path = path
@@ -241,6 +264,25 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("IndexLinks", cmd_index_links, help="re-index a links file")
     sp.add_argument("--links", "-l", required=True)
     sp.add_argument("--out", "-o", required=True)
+
+    sp = add("Call", cmd_call, help="call DNMs in a pedigree graph")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--rois", "-r", required=True)
+    sp.add_argument("--partitions", "-p", required=True)
+    sp.add_argument("--backgrounds", "-b", action="append", required=True)
+    sp.add_argument("--references", "-R", action="append",
+                    help="name:fasta pairs")
+    sp.add_argument("--links", "-l", action="append")
+    sp.add_argument("--partitionName", "-pn", action="append")
+    sp.add_argument("--del", dest="del_", type=float, default=0.35)
+    sp.add_argument("--eps", type=float, default=0.90)
+    sp.add_argument("--rho", type=float, default=6e-4)
+    sp.add_argument("--term", type=float, default=0.001)
+    sp.add_argument("--window", "-w", type=int, default=200)
+    sp.add_argument("--distance", "-d", type=int, default=2000)
+    sp.add_argument("--disableInversions", "-noinv", action="store_true")
+    sp.add_argument("--out", "-o", required=True)
+    sp.add_argument("--accountingOut", "-ao", required=True)
 
     return p
 

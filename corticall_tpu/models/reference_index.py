@@ -67,6 +67,38 @@ class Alignment:
     def read_negative_strand(self):
         return self.negative
 
+    @property
+    def read_length(self) -> int:
+        return len(self.read)
+
+    def _cigar_ops(self):
+        num = ""
+        for c in self.cigar:
+            if c.isdigit():
+                num += c
+            else:
+                yield int(num), c
+                num = ""
+
+    def ref_pos_at_read_pos(self, read_pos: int) -> int:
+        """1-based read position -> 1-based reference position, 0 if the read
+        base is clipped/inserted (SAMRecord.getReferencePositionAtReadPosition)."""
+        rp = 0          # read position consumed (1-based cursor)
+        ref = self.start
+        for n, op in self._cigar_ops():
+            if op in ("S", "I"):
+                if rp < read_pos <= rp + n:
+                    return 0
+                rp += n
+            elif op == "M":
+                if rp < read_pos <= rp + n:
+                    return ref + (read_pos - rp - 1)
+                rp += n
+                ref += n
+            elif op in ("D", "N"):
+                ref += n
+        return 0
+
 
 class IndexedReference:
     """One or more reference contigs + seed index + aligner + sources."""

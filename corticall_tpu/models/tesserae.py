@@ -78,6 +78,8 @@ class Tesserae:
         lsm = np.log(EMISS_MATCH_NT)
         lsi = np.log(EMISS_GAP_NT)
 
+        if not targets or not query:
+            raise ValueError("Tesserae.align requires a non-empty query and targets")
         names = list(targets.keys())
         seqs = [targets[n] for n in names]
         s_count = len(seqs)

@@ -1,0 +1,117 @@
+"""End-to-end Call pipeline tests on simulated trios."""
+
+import numpy as np
+import pytest
+
+from corticall_tpu import fixtures, kmer as km
+from corticall_tpu.commands import core
+from corticall_tpu.caller.call import Caller
+from corticall_tpu.models.reference_index import IndexedReference
+
+
+def _genome(rng, n):
+    return "".join(rng.choice(list("ACGT"), n))
+
+
+def make_trio(child_seq, parent_seq, k=21):
+    g = fixtures.build_graph(
+        {"kid": [child_seq], "mom": [parent_seq], "dad": [parent_seq]}, k)
+    rois = core.find_rois(g, "kid", ["mom", "dad"])
+    parts = core.partition(g, rois)
+    # references are keyed by background sample name (the WDL's `-R name:fa`)
+    ir = IndexedReference({"chr1": parent_seq})
+    refs = {"mom": ir, "dad": ir}
+    return g, rois, parts, refs
+
+
+def run_caller(child_seq, parent_seq, k=21):
+    g, rois, parts, refs = make_trio(child_seq, parent_seq, k)
+    assert rois.num_records > 0, "no novel kmers in scenario"
+    assert parts, "no partitions"
+    caller = Caller(g, rois, parts, backgrounds=["mom", "dad"], references=refs)
+    variants, _ = caller.call()
+    return variants, rois, parts
+
+
+def test_call_snp():
+    rng = np.random.default_rng(17)
+    parent = _genome(rng, 1500)
+    pos = 700
+    alt = "ACGT"[("ACGT".index(parent[pos]) + 1) % 4]
+    child = parent[:pos] + alt + parent[pos + 1:]
+
+    variants, rois, parts = run_caller(child, parent)
+    assert len(variants) >= 1
+    snps = [v for v in variants if v.is_snp()]
+    assert len(snps) == 1
+    v = snps[0]
+    assert v.alleles[0] == parent[pos]
+    assert v.alleles[1] == alt
+    # lifted to reference coordinates: chr1, 1-based position of the SNP
+    assert v.chrom == "chr1"
+    assert v.start == pos + 1
+    assert v.get_attr("CALL_FUNC") == "smallBubble"
+
+
+def test_call_insertion():
+    rng = np.random.default_rng(23)
+    parent = _genome(rng, 1500)
+    pos = 800
+    ins = "TGACGTA"
+    child = parent[:pos] + ins + parent[pos:]
+
+    variants, _, _ = run_caller(child, parent)
+    assert len(variants) >= 1
+    indels = [v for v in variants
+              if not v.is_symbolic() and len(v.alleles[1]) > len(v.alleles[0])]
+    assert len(indels) >= 1
+    v = indels[0]
+    # indel placement may be shifted by the aligner; length is exact
+    assert len(v.alleles[1]) - len(v.alleles[0]) == len(ins)
+    assert v.chrom == "chr1"
+
+
+def test_call_deletion():
+    rng = np.random.default_rng(29)
+    parent = _genome(rng, 1500)
+    child = parent[:600] + parent[609:]  # 9bp deletion
+
+    variants, _, _ = run_caller(child, parent)
+    dels = [v for v in variants
+            if not v.is_symbolic() and len(v.alleles[0]) > len(v.alleles[1])]
+    assert len(dels) >= 1
+    v = dels[0]
+    assert len(v.alleles[0]) - len(v.alleles[1]) == 9
+    assert v.chrom == "chr1"
+
+
+def test_call_no_variants_on_identical_trio():
+    rng = np.random.default_rng(31)
+    parent = _genome(rng, 800)
+    g = fixtures.build_graph({"kid": [parent], "mom": [parent], "dad": [parent]}, 21)
+    rois = core.find_rois(g, "kid", ["mom", "dad"])
+    assert rois.num_records == 0
+
+
+def test_write_outputs(tmp_path):
+    rng = np.random.default_rng(37)
+    parent = _genome(rng, 1200)
+    pos = 500
+    alt = "ACGT"[("ACGT".index(parent[pos]) + 2) % 4]
+    child = parent[:pos] + alt + parent[pos + 1:]
+
+    g, rois, parts, refs = make_trio(child, parent)
+    caller = Caller(g, rois, parts, backgrounds=["mom", "dad"], references=refs)
+    vcf = tmp_path / "calls.vcf"
+    acct = tmp_path / "acct.txt"
+    final, acct_map = caller.write_outputs(vcf, acct)
+
+    text = vcf.read_text()
+    assert text.startswith("##fileformat=VCF")
+    assert "chr1" in text
+    lines = [l for l in text.splitlines() if not l.startswith("#")]
+    assert len(lines) == len(final) >= 1
+    # accounting: every ROI kmer assigned to a call or absent
+    acct_text = acct.read_text().splitlines()
+    assert len(acct_text) == rois.num_records
+    assert any("CC" in line for line in acct_text)
