@@ -146,6 +146,44 @@ def cmd_index_links(args):
     lkio.write_links(args.out, data)
 
 
+def cmd_build(args):
+    from .. import build as bd
+    from ..io import reads as rdio
+
+    def seqs():
+        for p in args.reads:
+            yield from rdio.read_sequences(p)
+
+    g = bd.build_graph_from_reads(seqs(), args.kmerSize, args.sample)
+    g.save(args.out)
+
+
+def cmd_clean(args):
+    from .. import build as bd
+    g = gr.CortexGraph.load(args.graph)
+    bd.clean_graph(g, args.minCoverage).save(args.out)
+
+
+def cmd_infer_edges(args):
+    from .. import build as bd
+    g = gr.CortexGraph.load(args.graph)
+    bd.infer_edges(g).save(args.out)
+
+
+def cmd_thread(args):
+    from .. import build as bd
+    from ..io import reads as rdio
+
+    g = gr.CortexGraph.load(args.graph)
+
+    def seqs():
+        for p in args.reads:
+            yield from rdio.read_sequences(p)
+
+    links = bd.thread_reads(g, seqs(), args.sample or g.sample_name(0))
+    lkio.write_links(args.out, links)
+
+
 def cmd_call(args):
     from ..caller.call import Caller
     from ..io import fasta as faio
@@ -263,6 +301,27 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = add("IndexLinks", cmd_index_links, help="re-index a links file")
     sp.add_argument("--links", "-l", required=True)
+    sp.add_argument("--out", "-o", required=True)
+
+    sp = add("Build", cmd_build, help="build a graph from reads (mccortex build)")
+    sp.add_argument("--reads", "-1", action="append", required=True)
+    sp.add_argument("--kmerSize", "-k", type=int, required=True)
+    sp.add_argument("--sample", "-s", required=True)
+    sp.add_argument("--out", "-o", required=True)
+
+    sp = add("Clean", cmd_clean, help="coverage/tip cleaning (mccortex clean)")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--minCoverage", "-m", type=int, default=2)
+    sp.add_argument("--out", "-o", required=True)
+
+    sp = add("InferEdges", cmd_infer_edges, help="add edges between adjacent kmers")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--out", "-o", required=True)
+
+    sp = add("Thread", cmd_thread, help="thread reads into link annotations")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--reads", "-1", action="append", required=True)
+    sp.add_argument("--sample", "-s")
     sp.add_argument("--out", "-o", required=True)
 
     sp = add("Call", cmd_call, help="call DNMs in a pedigree graph")
