@@ -184,6 +184,22 @@ def cmd_thread(args):
     lkio.write_links(args.out, links)
 
 
+def cmd_simulate(args):
+    from .. import simulate as sim
+    from ..io import fasta as faio
+    from ..caller.variants import write_vcf
+
+    ref1 = faio.read_fasta(args.ref1)
+    ref2 = faio.read_fasta(args.ref2)
+    res = sim.simulate_haploid_child(
+        ref1, ref2, parents=args.parents, mu=args.mu,
+        num_variants=args.numVariants, k=args.kmerSize, seed=args.seed)
+    faio.write_fasta(args.out, res["child"])
+    sim.write_tables(res, args.variantsOut, args.kmersOut)
+    sd = [(n, len(s)) for n, s in list(ref1.items()) + list(ref2.items())]
+    write_vcf(args.truthOut, res["truth_vcf"], sd)
+
+
 def cmd_call(args):
     from ..caller.call import Caller
     from ..io import fasta as faio
@@ -323,6 +339,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--reads", "-1", action="append", required=True)
     sp.add_argument("--sample", "-s")
     sp.add_argument("--out", "-o", required=True)
+
+    sp = add("SimulateHaploidChild", cmd_simulate,
+             help="simulate a recombinant child with de novo variants")
+    sp.add_argument("--parents", "-p", nargs=2, default=["parent1", "parent2"])
+    sp.add_argument("--ref1", "-r1", required=True)
+    sp.add_argument("--ref2", "-r2", required=True)
+    sp.add_argument("--mu", "-m", type=float, default=2.0)
+    sp.add_argument("--seed", "-s", type=int, default=0)
+    sp.add_argument("--numVariants", "-v", type=int, default=3)
+    sp.add_argument("--kmerSize", "-k", type=int, default=47)
+    sp.add_argument("--out", "-o", required=True)
+    sp.add_argument("--variantsOut", "-vo", required=True)
+    sp.add_argument("--kmersOut", "-ko", required=True)
+    sp.add_argument("--truthOut", "-to", required=True)
 
     sp = add("Call", cmd_call, help="call DNMs in a pedigree graph")
     sp.add_argument("--graph", "-g", required=True)

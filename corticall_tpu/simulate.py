@@ -1,0 +1,289 @@
+"""Simulation suite: recombinant haploid children with injected variants.
+
+Capability port of commands/simulate/ (SimulateHaploidChild.java:40-947 and
+generators/): cross two parental references with Poisson-drawn recombination
+counts, inject de novo variants of the reference's 8 generator types (SNV,
+INS, DEL, MNP, INV, STR expansion/contraction, tandem duplication), and emit
+the child FASTA plus truth tables — per-variant rows with 100bp seed flanks,
+the novel-kmer list (child kmers absent from both parents), and a truth VCF
+against the parental reference — the inputs the evaluation harness compares
+calls against (Simulate.wdl:1209-1330).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import kmer as km
+from .caller.variants import Variant
+
+
+# ---------------------------------------------------------------------------
+# variant generators (commands/simulate/generators/)
+# ---------------------------------------------------------------------------
+
+def _random_seq(rng, n):
+    return "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+
+
+def gen_snv(seq, pos, rng, length):
+    old = seq[pos]
+    while True:
+        base = "ACGT"[rng.integers(0, 4)]
+        if base != old.upper():
+            return "SNV", pos, old, base
+
+
+def gen_ins(seq, pos, rng, length):
+    old = seq[pos]
+    return "INS", pos, old, old + _random_seq(rng, length)
+
+
+def gen_del(seq, pos, rng, length):
+    return "DEL", pos, seq[pos:pos + length + 1], seq[pos]
+
+
+def gen_mnp(seq, pos, rng, length):
+    return "MNP", pos, seq[pos:pos + length], _random_seq(rng, length)
+
+
+def gen_inv(seq, pos, rng, length):
+    old = seq[pos:pos + length]
+    return "INV", pos, old, km.revcomp(old)
+
+
+def _str_loci(seq, s):
+    """Start positions of tandem repeats with unit size s (StrExpGenerator)."""
+    loci = []
+    for i in range(len(seq) - 2 * s):
+        unit = seq[i:i + s]
+        if "N" not in unit and unit == seq[i + s:i + 2 * s]:
+            loci.append(i)
+    return loci
+
+
+def gen_str_exp(seq, pos, rng, length):
+    s = int(rng.integers(0, 4)) + 2
+    loci = _str_loci(seq, s)
+    if not loci:
+        return gen_snv(seq, pos, rng, length)
+    l = loci[rng.integers(0, len(loci))]
+    unit = seq[l:l + s]
+    n = int(rng.integers(0, 4)) + 2
+    return "STR_EXP", l, unit, unit * n
+
+
+def gen_str_con(seq, pos, rng, length):
+    s = int(rng.integers(0, 4)) + 2
+    loci = _str_loci(seq, s)
+    if not loci:
+        return gen_snv(seq, pos, rng, length)
+    l = loci[rng.integers(0, len(loci))]
+    unit = seq[l:l + s]
+    adjacent = 0
+    i = l
+    while i < len(seq) - s and seq[i:i + s] == unit:
+        adjacent += 1
+        i += s
+    i = l - s
+    while i >= 0 and seq[i:i + s] == unit:
+        adjacent += 1
+        i -= s
+    if adjacent < 2:
+        return gen_snv(seq, pos, rng, length)
+    n = int(rng.integers(0, adjacent - 1)) + 2
+    n = min(n, adjacent)
+    return "STR_CON", l, seq[l:l + n * s], unit
+
+
+def gen_tandem_dup(seq, pos, rng, length):
+    old = seq[pos:pos + length]
+    return "TD", pos, old, old + old
+
+
+GENERATORS = [gen_ins, gen_str_exp, gen_tandem_dup, gen_del, gen_str_con,
+              gen_mnp, gen_inv, gen_snv]
+
+
+# ---------------------------------------------------------------------------
+# recombination (SimulateHaploidChild.recombine)
+# ---------------------------------------------------------------------------
+
+def recombine(seq1: str, seq2: str, num_recombs: int, k: int, rng):
+    """Alternate between two parental sequences at random switch points.
+
+    Returns (pieces, parents) where parents[i] in (1, 2) names the source of
+    pieces[i]; switch points are uniform, at least k bases apart.
+    """
+    n = min(len(seq1), len(seq2))
+    points = sorted(set(int(x) for x in rng.integers(k, n - k, num_recombs))) if num_recombs else []
+    pieces, parents = [], []
+    cur = int(rng.integers(1, 3))
+    prev = 0
+    for p in points + [n]:
+        if p <= prev:
+            continue
+        src = seq1 if cur == 1 else seq2
+        pieces.append(src[prev:p])
+        parents.append(cur)
+        cur = 2 if cur == 1 else 1
+        prev = p
+    return pieces, parents
+
+
+def poisson_draw(rng, mu: float) -> int:
+    return int(rng.poisson(mu))
+
+
+# ---------------------------------------------------------------------------
+# the simulator
+# ---------------------------------------------------------------------------
+
+def simulate_haploid_child(ref1: dict, ref2: dict, parents=("parent1", "parent2"),
+                           mu: float = 2.0, num_variants: int = 3, k: int = 47,
+                           seed: int = 0):
+    """Simulate one recombinant child with injected de novo variants.
+
+    ref1/ref2: {chrom: seq} with matching chromosome order.
+    Returns dict with: child {chrN: seq}, variants (truth rows), kmers (novel
+    kmer rows), recombs (per-piece rows), truth_vcf (list of Variant vs the
+    originating parent's coordinates).
+    """
+    rng = np.random.default_rng(seed)
+    chrs1, chrs2 = list(ref1), list(ref2)
+    assert len(chrs1) == len(chrs2)
+
+    child_seqs = []
+    recomb_rows = []
+    for i, (c1, c2) in enumerate(zip(chrs1, chrs2)):
+        nrec = poisson_draw(rng, mu)
+        pieces, sources = recombine(ref1[c1].upper(), ref2[c2].upper(), nrec, k, rng)
+        child_seqs.append((pieces, sources))
+        start = 0
+        for piece, sw in zip(pieces, sources):
+            recomb_rows.append({
+                "index": -1, "chr": i + 1, "start": start,
+                "stop": start + len(piece),
+                "parent": parents[sw - 1], "type": "RECOMB",
+            })
+            start += len(piece)
+
+    # parental kmer set for novelty detection
+    parental: set = set()
+    for ref in (ref1, ref2):
+        for seq in ref.values():
+            s = seq.upper()
+            for i in range(len(s) - k + 1):
+                sk = s[i:i + k]
+                if "N" not in sk:
+                    parental.add(min(sk, km.revcomp(sk)))
+
+    # inject variants (descending position per chromosome to keep indices valid)
+    chroms = ["".join(p) for p, _ in child_seqs]
+    sources_per_chrom = []
+    for pieces, srcs in child_seqs:
+        flat = []
+        for piece, sw in zip(pieces, srcs):
+            flat.extend([sw] * len(piece))
+        sources_per_chrom.append(flat)
+
+    planned = []
+    for _ in range(num_variants):
+        ci = int(rng.integers(0, len(chroms)))
+        gen = GENERATORS[rng.integers(0, len(GENERATORS))]
+        seq = chroms[ci]
+        length = int(rng.integers(1, 20))
+        pos = int(rng.integers(150, max(151, len(seq) - 150 - length)))
+        vtype, vpos, old, new = gen(seq, pos, rng, length)
+        if old.upper() == new.upper():
+            continue
+        if vpos < 150 or vpos + len(old) + 150 > len(seq):
+            continue
+        planned.append((ci, vpos, vtype, old, new))
+
+    # apply in reverse position order per chromosome
+    planned.sort(key=lambda t: (t[0], t[1]))
+    variant_rows = []
+    kmer_rows = []
+    truth = []
+    applied = [list() for _ in chroms]
+    for idx in range(len(planned) - 1, -1, -1):
+        ci, pos, vtype, old, new = planned[idx]
+        # skip overlaps with later-applied variants
+        if any(not (pos + len(old) <= a or pos >= b) for a, b in applied[ci]):
+            continue
+        seq = chroms[ci]
+        if seq[pos:pos + len(old)].upper() != old.upper():
+            continue
+        chroms[ci] = seq[:pos] + new + seq[pos + len(old):]
+        applied[ci].append((pos, pos + len(new)))
+
+        seed_left = chroms[ci][pos - 100:pos]
+        seed_right = chroms[ci][pos + len(new):pos + len(new) + 100]
+        parent_idx = sources_per_chrom[ci][pos] - 1
+        parent_name = parents[parent_idx]
+        parent_ref = ref1 if parent_idx == 0 else ref2
+        parent_chr = (chrs1 if parent_idx == 0 else chrs2)[ci]
+        pseq = parent_ref[parent_chr].upper()
+        ref_pos_left = pseq.find(seed_left.upper()) + len(seed_left)
+        ref_pos_right = pseq.find(seed_right.upper()) + 1
+
+        variant_rows.append({
+            "index": idx, "chr": ci + 1, "start": pos, "stop": pos + len(new),
+            "parent": parent_name, "type": vtype,
+            "old": old or ".", "new": new or ".",
+            "sleft": seed_left, "sright": seed_right,
+            "refChr": parent_chr, "refStart": ref_pos_left,
+            "refStop": ref_pos_right,
+        })
+
+        # novel kmers around the variant
+        lo = max(0, pos - 100)
+        hi = min(len(chroms[ci]) - k, pos + len(new) + 100 - k)
+        seen = []
+        for p in range(lo, hi + 1):
+            sk = chroms[ci][p:p + k].upper()
+            if "N" not in sk and min(sk, km.revcomp(sk)) not in parental:
+                seen.append(sk)
+        for nki, nk in enumerate(seen):
+            kmer_rows.append({
+                "index": idx, "numNovel": len(seen), "kmerIndex": nki,
+                "kmer": nk, "type": vtype, "chr": ci, "pos": pos,
+                "old": old, "new": new,
+            })
+
+        if ref_pos_left > len(seed_left) - 1:
+            truth.append(Variant(
+                chrom=parent_chr, start=ref_pos_left + 1,
+                alleles=[old or seed_left[-1], new or seed_left[-1]],
+                attributes={"TYPE": vtype, "SEED_LEFT": seed_left,
+                            "SEED_RIGHT": seed_right},
+            ).compute_end_from_alleles())
+
+    child = {f"chr{i + 1}": s for i, s in enumerate(chroms)}
+    return {
+        "child": child,
+        "variants": variant_rows,
+        "kmers": kmer_rows,
+        "recombs": recomb_rows,
+        "truth_vcf": truth,
+    }
+
+
+VARIANT_COLUMNS = ["index", "chr", "start", "stop", "parent", "type", "old",
+                   "new", "sleft", "sright", "refChr", "refStart", "refStop"]
+
+
+def write_tables(result, variants_path, kmers_path):
+    with open(variants_path, "w") as f:
+        f.write("\t".join(VARIANT_COLUMNS) + "\n")
+        for row in result["recombs"]:
+            f.write("\t".join(str(row.get(c, ".")) for c in VARIANT_COLUMNS) + "\n")
+        for row in result["variants"]:
+            f.write("\t".join(str(row.get(c, ".")) for c in VARIANT_COLUMNS) + "\n")
+    with open(kmers_path, "w") as f:
+        f.write("id\tlength\tkmerIndex\tkmer\ttype\tchr\tpos\told\tnew\n")
+        for row in result["kmers"]:
+            f.write("\t".join(str(row[c]) for c in
+                              ["index", "numNovel", "kmerIndex", "kmer", "type",
+                               "chr", "pos", "old", "new"]) + "\n")
