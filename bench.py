@@ -65,17 +65,21 @@ def host_baseline_steps_per_sec(g, seeds, max_steps: int = 64) -> float:
 def main():
     import jax
     import jax.numpy as jnp
-    from corticall_tpu import device, kmer as km
+    from corticall_tpu import kmer as km
+    from corticall_tpu.ops import hashtable as ht
     from corticall_tpu.ops import walk as wk
 
     k = int(os.environ.get("BENCH_K", "47"))
     n_bases = int(os.environ.get("BENCH_BASES", "2000000"))
-    b = int(os.environ.get("BENCH_WALKS", "8192"))
+    b = int(os.environ.get("BENCH_WALKS", "65536"))
     t = int(os.environ.get("BENCH_STEPS", "256"))
+    ppr = int(os.environ.get("BENCH_PROBES_PER_ROUND", "8"))
 
     g, genome = build_bench_graph(k, n_bases)
-    dg = device.DeviceGraph.from_graph(g)
-    edges_combined = dg.combined_edges([0])
+    # low load factor shortens the probe tail — gather rounds dominate step
+    # latency on TPU, so a bigger (but still small: M*(W+1)*4B) table wins
+    table = ht.build(g.kmers, load_factor=0.25)
+    walk_entries = jnp.asarray(table.build_walk_entries(g.kmers, g.edges[:, 0]))
 
     rng = np.random.default_rng(11)
     starts = rng.integers(0, len(genome) - k, size=b)
@@ -83,16 +87,15 @@ def main():
     seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(seed_strs), k))
 
     # warmup / compile
-    bases, cycled, steps = wk.walk_forward(dg.slots, dg.kmers, edges_combined,
-                                           seeds, k, dg.max_probe, t)
-    jax.block_until_ready((bases, cycled, steps))
+    out = wk.walk_forward_fused(walk_entries, seeds, k, table.max_probe, t, ppr)
+    jax.block_until_ready(out)
 
     n_iters = 5
     t0 = time.perf_counter()
     total_emitted = 0
     for _ in range(n_iters):
-        bases, cycled, steps = wk.walk_forward(dg.slots, dg.kmers, edges_combined,
-                                               seeds, k, dg.max_probe, t)
+        bases, cycled, steps = wk.walk_forward_fused(walk_entries, seeds, k,
+                                                     table.max_probe, t, ppr)
         total_emitted += int(jax.block_until_ready(steps).sum())
     dt = time.perf_counter() - t0
     device_sps = total_emitted / dt

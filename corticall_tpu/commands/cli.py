@@ -184,6 +184,77 @@ def cmd_thread(args):
     lkio.write_links(args.out, links)
 
 
+def cmd_vcf_to_kmers(args):
+    from .. import evaluation as ev
+    from ..io import fasta as faio
+    variants = ev.read_vcf(args.vcf)
+    ref = faio.read_fasta(args.reference)
+    with _out_stream(args.out) as f:
+        for row in ev.vcf_to_kmers(variants, ref, args.kmerSize):
+            f.write("\t".join(str(x) for x in row) + "\n")
+
+
+def cmd_evaluate_calls(args):
+    from .. import evaluation as ev
+    from ..io import fasta as faio
+    truth = ev.read_vcf(args.truth)
+    calls = ev.read_vcf(args.calls)
+    ref = faio.read_fasta(args.reference)
+    res = ev.evaluate_calls(truth, calls, ref, args.kmerSize, args.minNovelKmers)
+    with _out_stream(args.out) as f:
+        f.write(f"num_truth\t{res['num_truth']}\n"
+                f"num_calls\t{res['num_calls']}\n"
+                f"tp\t{res['tp']}\nfn\t{res['fn']}\nfp\t{res['fp']}\n")
+        for vtype, d in sorted(res["by_type"].items()):
+            f.write(f"type:{vtype}\ttp={d['tp']}\tfn={d['fn']}\n")
+
+
+def cmd_trim_partitions(args):
+    from .. import evaluation as ev
+    from ..io import fasta as faio
+    roi = gr.CortexGraph.load(args.rois)
+    rois = {roi.kmer_string(i) for i in range(roi.num_records)}
+    parts = faio.read_fasta_full_headers(args.partitions)
+    with _out_stream(args.out) as f:
+        for header, seq in ev.trim_partitions(parts, rois, roi.kmer_size, args.margin):
+            f.write(f">{header}\n{seq}\n")
+
+
+def cmd_count_novels_in_partitions(args):
+    from .. import evaluation as ev
+    from ..io import fasta as faio
+    roi = gr.CortexGraph.load(args.roi)
+    rois = {roi.kmer_string(i) for i in range(roi.num_records)}
+    parts = faio.read_fasta_full_headers(args.contigs)
+    with _out_stream(args.out) as f:
+        f.write("partitionName\tpartitionLength\tnovelKmers\n")
+        for name, length, novel in ev.count_novel_kmers_in_partitions(
+                parts, rois, roi.kmer_size):
+            f.write(f"{name}\t{length}\t{novel}\n")
+
+
+def cmd_compute_inheritance(args):
+    from .. import inheritance as inh
+    from ..models.reference_index import IndexedReference
+
+    g = gr.CortexGraph.load(args.graph)
+    references = {}
+    for spec in args.references:
+        name, path = spec.split(":", 1)
+        references[name] = IndexedReference(path)
+    parents = {}
+    for spec in args.parent:
+        name, sample = spec.split(":", 1)
+        parents[name] = sample
+    rows = inh.compute_inheritance(g, references, parents, args.child, args.ref)
+    with _out_stream(args.out) as f:
+        if rows:
+            cols = list(rows[0].keys())
+            f.write("\t".join(cols) + "\n")
+            for row in rows:
+                f.write("\t".join(str(row.get(c, "")) for c in cols) + "\n")
+
+
 def cmd_simulate(args):
     from .. import simulate as sim
     from ..io import fasta as faio
@@ -339,6 +410,45 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--reads", "-1", action="append", required=True)
     sp.add_argument("--sample", "-s")
     sp.add_argument("--out", "-o", required=True)
+
+    sp = add("VCFToKmers", cmd_vcf_to_kmers, help="emit alt-haplotype kmers per variant")
+    sp.add_argument("--vcf", "-v", required=True)
+    sp.add_argument("--reference", "-R", required=True)
+    sp.add_argument("--kmerSize", "-k", type=int, default=63)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("EvaluateCalls", cmd_evaluate_calls,
+             help="kmer-Venn concordance of calls vs truth VCF")
+    sp.add_argument("--truth", "-t", required=True)
+    sp.add_argument("--calls", "-c", required=True)
+    sp.add_argument("--reference", "-R", required=True)
+    sp.add_argument("--kmerSize", "-k", type=int, default=47)
+    sp.add_argument("--minNovelKmers", "-m", type=int, default=1)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("TrimPartitions", cmd_trim_partitions,
+             help="crop partitions to novel span +- margin")
+    sp.add_argument("--partitions", "-p", required=True)
+    sp.add_argument("--rois", "-r", required=True)
+    sp.add_argument("--margin", "-m", type=int, default=500)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("CountNovelKmersInPartitions", cmd_count_novels_in_partitions,
+             help="novel kmers per partition contig")
+    sp.add_argument("--contigs", "-c", required=True)
+    sp.add_argument("--roi", "-r", required=True)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("ComputeInheritance", cmd_compute_inheritance,
+             help="paint per-child parental-allele inheritance")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--references", "-r", action="append", required=True,
+                    help="name:fasta pairs")
+    sp.add_argument("--parent", "-p", action="append", required=True,
+                    help="refName:sampleName pairs")
+    sp.add_argument("--child", "-c", action="append", required=True)
+    sp.add_argument("--ref", "-rn", required=True)
+    sp.add_argument("--out", "-o", default="-")
 
     sp = add("SimulateHaploidChild", cmd_simulate,
              help="simulate a recombinant child with de novo variants")

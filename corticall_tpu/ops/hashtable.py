@@ -46,14 +46,44 @@ def np_hash_words(words: np.ndarray) -> np.ndarray:
 
 @dataclass
 class HashTable:
-    """slots: int32[M] record index or -1; keys are the graph's kmers array."""
+    """slots: int32[M] record index or -1; keys are the graph's kmers array.
+
+    entries: uint32[M, W+1] interleaved (key words..., record index + 1) with
+    0 in the last lane marking an empty slot — lets the device probe with a
+    single gather per slot instead of two dependent ones (slot -> key)."""
     slots: np.ndarray
     max_probe: int
     table_bits: int
+    entries: np.ndarray | None = None
 
     @property
     def size(self) -> int:
         return self.slots.shape[0]
+
+    def build_entries(self, kmers: np.ndarray) -> np.ndarray:
+        m = self.slots.shape[0]
+        w = kmers.shape[1]
+        entries = np.zeros((m, w + 1), dtype=np.uint32)
+        occ = self.slots >= 0
+        idx = self.slots[occ]
+        entries[occ, :w] = kmers[idx]
+        entries[occ, w] = idx.astype(np.uint32) + 1
+        self.entries = entries
+        return entries
+
+    def build_walk_entries(self, kmers: np.ndarray, payload: np.ndarray) -> np.ndarray:
+        """Entries carrying an arbitrary uint8/uint32 payload (e.g. the
+        combined edge byte) instead of the record index: last lane =
+        0x80000000 | payload for occupied slots, 0 for empty.  A walk step
+        then needs exactly ONE gather per probe and none afterwards."""
+        m = self.slots.shape[0]
+        w = kmers.shape[1]
+        entries = np.zeros((m, w + 1), dtype=np.uint32)
+        occ = self.slots >= 0
+        idx = self.slots[occ]
+        entries[occ, :w] = kmers[idx]
+        entries[occ, w] = np.uint32(0x80000000) | payload[idx].astype(np.uint32)
+        return entries
 
 
 def build(kmers: np.ndarray, load_factor: float = 0.7,
@@ -128,6 +158,47 @@ def lookup(slots: jnp.ndarray, keys: jnp.ndarray, queries: jnp.ndarray,
     def cond(state):
         p, _, resolved = state
         return (p < max_probe) & ~jnp.all(resolved)
+
+    _, found, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), found, resolved))
+    return found
+
+
+@partial(jax.jit, static_argnames=("max_probe", "probes_per_round"))
+def lookup_fused(entries: jnp.ndarray, queries: jnp.ndarray, max_probe: int,
+                 probes_per_round: int = 4) -> jnp.ndarray:
+    """Single-gather probing over interleaved (key, idx+1) entries.
+
+    entries: uint32[M, W+1] (HashTable.build_entries); queries: uint32[B, W]
+    canonical kmers -> int32[B] record indices (-1 miss).  Each round gathers
+    `probes_per_round` consecutive slots at once, shortening the dependent-
+    gather chain that dominates probe latency on TPU.
+    """
+    m = entries.shape[0]
+    w = queries.shape[1]
+    mask = jnp.uint32(m - 1)
+    h = kj.hash_words(queries) & mask
+
+    zero = (h & jnp.uint32(0)).astype(jnp.int32)
+    found = zero - 1
+    resolved = zero > 0
+    rounds = (max_probe + probes_per_round - 1) // probes_per_round
+
+    def body(state):
+        r, found, resolved = state
+        base = h + (r * probes_per_round).astype(jnp.uint32)
+        for p in range(probes_per_round):
+            slot = ((base + np.uint32(p)) & mask).astype(jnp.int32)
+            e = entries[slot]                       # [B, W+1] one gather
+            idx = e[:, w].astype(jnp.int32) - 1
+            match = (idx >= 0) & jnp.all(e[:, :w] == queries, axis=-1)
+            empty = idx < 0
+            found = jnp.where(~resolved & match, idx, found)
+            resolved = resolved | match | empty
+        return r + 1, found, resolved
+
+    def cond(state):
+        r, _, resolved = state
+        return (r < rounds) & ~jnp.all(resolved)
 
     _, found, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), found, resolved))
     return found

@@ -85,6 +85,78 @@ def walk_forward(slots, keys, edges_combined, seeds, k: int, max_probe: int,
     return bases, cycled, steps
 
 
+@partial(jax.jit, static_argnames=("k", "max_probe", "num_steps", "probes_per_round"))
+def walk_forward_fused(walk_entries, seeds, k: int, max_probe: int,
+                       num_steps: int, probes_per_round: int = 4):
+    """walk_forward with the edge byte fused into the hash entry
+    (HashTable.build_walk_entries): one gather per probe, none after —
+    the minimal-memory-traffic formulation of the de Bruijn step."""
+    m = walk_entries.shape[0]
+    w = seeds.shape[1]
+    mask = jnp.uint32(m - 1)
+    rounds = (max_probe + probes_per_round - 1) // probes_per_round
+
+    def lookup_edges(canon):
+        h = kj.hash_words(canon) & mask
+        zero = (h & jnp.uint32(0)).astype(jnp.uint32)
+        payload = zero          # 0 = miss
+        resolved = zero > 0
+
+        def body(state):
+            r, payload, resolved = state
+            base = h + (r * probes_per_round).astype(jnp.uint32)
+            for p in range(probes_per_round):
+                slot = ((base + np.uint32(p)) & mask).astype(jnp.int32)
+                e = walk_entries[slot]
+                tag = e[:, w]
+                match = (tag >= jnp.uint32(0x80000000)) & jnp.all(
+                    e[:, :w] == canon, axis=-1)
+                empty = tag == 0
+                payload = jnp.where(~resolved & match,
+                                    tag & jnp.uint32(0x7FFFFFFF), payload)
+                resolved = resolved | match | empty
+            return r + 1, payload, resolved
+
+        def cond(state):
+            r, _, resolved = state
+            return (r < rounds) & ~jnp.all(resolved)
+
+        _, payload, resolved = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), payload, resolved))
+        return payload, resolved
+
+    def step(state, _):
+        cur, active, saved, power, lam = state
+        canon, flipped = kj.canonicalize_words(cur, k)
+        e, _ = lookup_edges(canon)  # payload 0 = miss or edgeless; both end the walk
+        next_mask = jnp.where(flipped, e >> 4, e & 0xF).astype(jnp.uint32)
+        n = kj.popcount4(next_mask)
+        base = kj.lowest_set_base(next_mask)
+        nxt = kj.shift_append(cur, base.astype(jnp.uint32), k)
+
+        single = n == 1
+        is_cycle = jnp.all(nxt == saved, axis=-1) & single & active
+        advance = active & single & ~is_cycle
+        emitted = jnp.where(advance, base, -1).astype(jnp.int8)
+
+        teleport = (power == lam) & advance
+        saved = jnp.where(teleport[:, None], nxt, saved)
+        power = jnp.where(teleport, power * 2, power)
+        lam = jnp.where(teleport, 0, lam)
+        lam = jnp.where(advance, lam + 1, lam)
+
+        cur = jnp.where(advance[:, None], nxt, cur)
+        return (cur, advance, saved, power, lam), (emitted, is_cycle)
+
+    b = seeds.shape[0]
+    init = (seeds, jnp.ones(b, dtype=bool), seeds,
+            jnp.ones(b, dtype=jnp.int32), jnp.zeros(b, dtype=jnp.int32))
+    (_, active, *_), (bases, cycles) = jax.lax.scan(step, init, None, length=num_steps)
+    cycled = jnp.any(cycles, axis=0)
+    steps = (bases >= 0).sum(axis=0).astype(jnp.int32)
+    return bases, cycled, steps
+
+
 def replay_walk(seed: str, bases: np.ndarray, cycled: bool,
                 max_branch_length: int = 75000) -> str:
     """Rebuild the walked extension with the reference's exact stopping rule.
