@@ -1,0 +1,207 @@
+"""Device Tesserae: the mosaic alignment DP as a jax scan over query positions.
+
+The host oracle (models/tesserae.py) runs one vectorized numpy step per query
+position; here the whole DP is a single `lax.scan` compiled by XLA — per step
+a handful of fused [S, L+1] vector ops plus a cummax prefix scan for the
+delete state — with the packed traceback emitted as scan outputs.  Traceback
+decoding and segment reconstruction stay on host (O(L), trivial).
+
+Batching over independent sections (the Call pipeline aligns many trimmed
+queries per partition) is a vmap over this function.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import tesserae as tz
+
+SMALL = -1e32
+M, I, D = 1, 2, 3
+
+
+@partial(jax.jit, static_argnames=("s_count", "width"))
+def _tesserae_scan(q_codes, t_codes, valid, params, s_count: int, width: int):
+    """q_codes: int32[L1]; t_codes: int32[S, width-1]; valid: bool[S, width-1].
+
+    params: (ldel, leps, lrho, lpiM, lpiI, lmm, lgm, ldm, lsize_l) float32[9]
+    plus emission tables lsm float32[5,5], lsi float32[5] appended by caller.
+
+    Returns per-column packed tracebacks tb_m/tb_i/tb_d int32[L1, S, width]
+    and final (who, state, pos, max_r).
+    """
+    (ldel, leps, lrho, lpiM, lpiI, lmm, lgm, ldm, lsize_l), lsm, lsi = params
+
+    seq_ids = jnp.arange(1, s_count + 1, dtype=jnp.int32)[:, None]
+    jj = jnp.arange(width, dtype=jnp.int32)[None, :]
+    jpos = jnp.maximum(jj - 1, 0)
+    vmask = jnp.concatenate(
+        [jnp.zeros((s_count, 1), bool), valid], axis=1)
+
+    def pack(who, state, pos):
+        return (who << 25) | (state << 23) | pos
+
+    def delete_scan(vm, min_j):
+        adj = vm - leps * jj.astype(vm.dtype)
+        adj = jnp.where(jj >= min_j - 1, adj, SMALL)
+        run = jax.lax.cummax(adj, axis=1)
+        run_prev = jnp.concatenate(
+            [jnp.full((s_count, 1), SMALL, vm.dtype), run[:, :-1]], axis=1)
+        vd = ldel + leps * (jj - 1).astype(vm.dtype) + run_prev
+        vd = jnp.where(jj >= min_j, vd, SMALL)
+        m_branch = jnp.concatenate(
+            [jnp.full((s_count, 1), SMALL, vm.dtype), vm[:, :-1]], axis=1) + ldel
+        d_branch = jnp.concatenate(
+            [jnp.full((s_count, 1), SMALL, vm.dtype), vd[:, :-1]], axis=1) + leps
+        state = jnp.where(m_branch >= d_branch, M, D).astype(jnp.int32)
+        return vd, state
+
+    def column_max(vm, vi):
+        vmv = jnp.where(vmask, vm, SMALL)
+        viv = jnp.where(vmask, vi, SMALL)
+        inter = jnp.stack([vmv, viv], axis=2).reshape(s_count, -1)
+        flat = jnp.argmax(inter)
+        best = inter.reshape(-1)[flat]
+        s_idx, rem = flat // (width * 2), flat % (width * 2)
+        j, st = rem // 2, rem % 2
+        return (s_idx + 1).astype(jnp.int32), jnp.where(st == 0, M, I).astype(jnp.int32), \
+            j.astype(jnp.int32), best
+
+    # column 1
+    em0 = lsm[q_codes[0], t_codes]                        # [S, width-1]
+    vm = jnp.full((s_count, width), SMALL)
+    vi = jnp.full((s_count, width), SMALL)
+    vm = vm.at[:, 1:].set(jnp.where(valid, lpiM - lsize_l + em0, SMALL))
+    vi = vi.at[:, 1:].set(jnp.where(valid, lpiI - lsize_l + lsi[q_codes[0]], SMALL))
+    vd, state_d = delete_scan(vm, 1)
+    tb_d1 = pack(seq_ids, state_d, jpos)
+    who, state, pos, max_r = column_max(vm, vi)
+
+    l1 = q_codes.shape[0]
+
+    def step(carry, qc):
+        vm, vi, vd, who, state, pos, max_r, i = carry
+        em = lsm[qc, t_codes]
+        neg_col = jnp.full((s_count, 1), SMALL)
+
+        cand = jnp.stack([
+            jnp.concatenate([neg_col, vm[:, :-1]], axis=1) + lmm,
+            jnp.concatenate([neg_col, vi[:, :-1]], axis=1) + lgm,
+            jnp.concatenate([neg_col, vd[:, :-1]], axis=1) + ldm,
+        ])
+        local_arg = jnp.argmax(cand, axis=0)
+        local_val = jnp.max(cand, axis=0)
+        recomb = max_r + lrho + lpiM - lsize_l
+        use_local = local_val > recomb
+        nvm = jnp.where(use_local, local_val, recomb)
+        tb_rec = pack(who, state, pos)
+        tbm = jnp.where(use_local,
+                        pack(seq_ids, (local_arg + 1).astype(jnp.int32), jpos),
+                        tb_rec)
+        nvm = nvm.at[:, 1:].set(jnp.where(valid, nvm[:, 1:] + em, SMALL))
+        nvm = nvm.at[:, 0].set(SMALL)
+
+        cand_i = jnp.stack([vm + ldel, vi + leps])
+        arg_i = jnp.argmax(cand_i, axis=0)
+        val_i = jnp.max(cand_i, axis=0)
+        recomb_i = max_r + lrho + lpiI - lsize_l
+        use_local_i = val_i > recomb_i
+        nvi = jnp.where(use_local_i, val_i, recomb_i)
+        tbi = jnp.where(use_local_i,
+                        pack(seq_ids, (arg_i + 1).astype(jnp.int32), jj),
+                        tb_rec)
+        nvi = nvi.at[:, 1:].set(jnp.where(valid, nvi[:, 1:] + lsi[qc], SMALL))
+        nvi = nvi.at[:, 0].set(SMALL)
+
+        is_last = i >= l1 - 1
+        nvd, state_d = delete_scan(nvm, 2)
+        nvd = jnp.where(is_last, jnp.full_like(nvd, SMALL), nvd)
+        tbd = pack(seq_ids, state_d, jpos)
+
+        nwho, nstate, npos, nmax = column_max(nvm, nvi)
+        return (nvm, nvi, nvd, nwho, nstate, npos, nmax, i + 1), (tbm, tbi, tbd)
+
+    carry0 = (vm, vi, vd, who, state, pos, max_r, jnp.int32(1))
+    carry, (tbm_s, tbi_s, tbd_s) = jax.lax.scan(step, carry0, q_codes[1:])
+    _, _, _, who_f, state_f, pos_f, max_f, _ = carry
+    return tb_d1, tbm_s, tbi_s, tbd_s, who_f, state_f, pos_f, max_f
+
+
+class TesseraeDevice(tz.Tesserae):
+    """Tesserae with the DP on device; traceback + segments on host.
+
+    Produces the same segment output as the host oracle (validated in tests);
+    tiny float tie-break differences are possible in principle but the
+    tie-break ordering rules are identical.
+    """
+
+    def align(self, query: str, targets: dict) -> list:
+        if not targets or not query:
+            raise ValueError("Tesserae.align requires a non-empty query and targets")
+        names = list(targets.keys())
+        seqs = [targets[n] for n in names]
+        s_count = len(seqs)
+        l1 = len(query)
+        maxl = max([l1] + [len(t) for t in seqs])
+        width = maxl + 1
+
+        q = jnp.asarray(tz._seq_codes(query), dtype=jnp.int32)
+        t_codes = np.zeros((s_count, maxl), dtype=np.int32)
+        t_len = np.array([len(t) for t in seqs])
+        for si, t in enumerate(seqs):
+            t_codes[si, :len(t)] = tz._seq_codes(t)
+        valid = (np.arange(1, maxl + 1)[None, :] <= t_len[:, None])
+
+        size_l = float(t_len.sum())
+        pi_m = 0.75
+        scal = jnp.asarray([
+            math.log(self.del_), math.log(self.eps), math.log(self.rho),
+            math.log(pi_m), math.log(1 - pi_m),
+            math.log(1 - 2 * self.del_ - self.rho - self.term),
+            math.log(1 - self.eps - self.rho - self.term),
+            math.log(1 - self.eps), math.log(size_l),
+        ])
+        params = (tuple(scal), jnp.asarray(np.log(tz.EMISS_MATCH_NT)),
+                  jnp.asarray(np.log(tz.EMISS_GAP_NT)))
+
+        tb_d1, tbm_s, tbi_s, tbd_s, who, state, pos, max_r = _tesserae_scan(
+            q, jnp.asarray(t_codes), jnp.asarray(valid), params, s_count, width)
+
+        self.llk = float(max_r) + math.log(self.term)
+        self.combined_llk += self.llk
+
+        # assemble full tb arrays [l1+1, S, width] on host
+        tb_m = np.zeros((l1 + 1, s_count, width), dtype=np.int32)
+        tb_i = np.zeros((l1 + 1, s_count, width), dtype=np.int32)
+        tb_d = np.zeros((l1 + 1, s_count, width), dtype=np.int32)
+        tb_d[1] = np.asarray(tb_d1)
+        if l1 > 1:
+            tb_m[2:] = np.asarray(tbm_s)
+            tb_i[2:] = np.asarray(tbi_s)
+            tb_d[2:] = np.asarray(tbd_s)
+
+        who, state, pos = int(who), int(state), int(pos)
+        cells = [(who, state, pos)]
+        pos_target = l1
+        while pos_target >= 1:
+            if state == M:
+                tb = tb_m[pos_target, who - 1, pos]
+            elif state == I:
+                tb = tb_i[pos_target, who - 1, pos]
+            else:
+                tb = tb_d[pos_target, who - 1, pos]
+            tb = int(tb)
+            who_n, state_n, pos_n = tb >> 25, (tb >> 23) & 3, tb & ((1 << 23) - 1)
+            prev_state = state
+            who, state, pos = who_n, state_n, pos_n
+            cells.append((who, state, pos))
+            if prev_state != D:
+                pos_target -= 1
+        cells.pop()
+        cells.reverse()
+        return self._build_path(query, names, seqs, cells)
