@@ -142,8 +142,40 @@ def cmd_sort(args):
 
 
 def cmd_index_links(args):
+    """`.ctp.gz` -> `.ctp.bgz` + binary `.idx` (IndexLinks.java parity)."""
     data = lkio.read_links(args.links)
-    lkio.write_links(args.out, data)
+    out = args.out or str(args.links).replace(".ctp.gz", ".ctp.bgz")
+    lkio.write_links_indexed(out, data, source=args.source)
+
+
+def cmd_index_reference(args):
+    from ..models.reference_index import IndexedReference
+    IndexedReference.create_index(args.reference, *(args.source or ["unknown"]))
+
+
+def cmd_find_unanchored(args):
+    from ..models.reference_index import IndexedReference
+    g = gr.CortexGraph.load(args.graph)
+    roi = gr.CortexGraph.load(args.roi)
+    lookups = {}
+    for spec in args.drafts:
+        name, path = spec.split(":", 1)
+        lookups[name] = IndexedReference(path)
+    core.find_unanchored(g, roi, args.parents, lookups,
+                         _load_links(args.links)).save(args.out)
+
+
+def cmd_find_contamination(args):
+    from ..models.reference_index import IndexedReference
+    g = gr.CortexGraph.load(args.graph)
+    roi = gr.CortexGraph.load(args.roi)
+    contam = gr.CortexGraph.load(args.contamination)
+    lookups = {}
+    for spec in args.drafts:
+        name, path = spec.split(":", 1)
+        lookups[name] = IndexedReference(path)
+    core.find_contamination(g, roi, args.parents, contam, lookups,
+                            _load_links(args.links)).save(args.out)
 
 
 def cmd_build(args):
@@ -386,8 +418,35 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--graph", "-g", required=True)
     sp.add_argument("--out", "-o", required=True)
 
-    sp = add("IndexLinks", cmd_index_links, help="re-index a links file")
+    sp = add("IndexLinks", cmd_index_links,
+             help="convert .ctp.gz to bgzip + binary index")
     sp.add_argument("--links", "-l", required=True)
+    sp.add_argument("--source", "-s", required=True)
+    sp.add_argument("--out", "-o")
+
+    sp = add("IndexReference", cmd_index_reference,
+             help="write the .sources sidecar for a reference FASTA")
+    sp.add_argument("--reference", "-r", required=True)
+    sp.add_argument("--source", "-s", action="append")
+
+    sp = add("FindUnanchored", cmd_find_unanchored,
+             help="prefilter: novel chains unplaceable on any draft")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--roi", "-r", required=True)
+    sp.add_argument("--parents", "-p", action="append", required=True)
+    sp.add_argument("--drafts", "-d", action="append", required=True,
+                    help="name:fasta pairs")
+    sp.add_argument("--links", "-l", action="append")
+    sp.add_argument("--out", "-o", required=True)
+
+    sp = add("FindContamination", cmd_find_contamination,
+             help="prefilter: contaminant chains")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--roi", "-r", required=True)
+    sp.add_argument("--parents", "-p", action="append", required=True)
+    sp.add_argument("--contamination", "-contam", required=True)
+    sp.add_argument("--drafts", "-d", action="append", required=True)
+    sp.add_argument("--links", "-l", action="append")
     sp.add_argument("--out", "-o", required=True)
 
     sp = add("Build", cmd_build, help="build a graph from reads (mccortex build)")

@@ -143,6 +143,125 @@ def read_links(path) -> LinksData:
 
 
 # ---------------------------------------------------------------------------
+# indexed random access (.ctp.bgz + .ctp.bgz.idx)
+# ---------------------------------------------------------------------------
+# Index format (CortexLinksRandomAccess.java:34-100, IndexLinks.java:63-136):
+# "LNKIDX" | i32 ncolors | i32 k | i64 nKmersInGraph | i64 nKmersWithLinks |
+# i64 linkBytes | i32 len + source | per color (i32 len + sampleName) |
+# "LNKIDX" | entries: kmer containers (the .ctx on-disk layout) + i64 virtual
+# offset + i32 record length.  Integers big-endian (Java ByteBuffer default).
+
+import struct as _struct
+
+
+def write_links_indexed(path_bgz, data: LinksData, source: str) -> None:
+    """Write records to BGZF + the binary sidecar index (IndexLinks parity)."""
+    from . import bgzf
+    from .. import kmer as _km
+
+    num_paths = sum(len(v) for v in data.records.values())
+    header = _links_header_json(data.kmer_size, data.num_kmers_in_graph,
+                                data.sample_name, len(data.records), num_paths)
+    entries = []
+    with bgzf.BgzfWriter(path_bgz) as w:
+        w.write(json.dumps(header, indent=2))
+        w.write("\n")
+        w.write("\n")
+        for kmer_str in sorted(data.records):
+            recs = data.records[kmer_str]
+            text = f"{kmer_str} {len(recs)}\n" + "".join(
+                jr.to_text() + "\n" for jr in recs)
+            # the reference records the length WITHOUT the final newline
+            # (clr.toString().length(); the newline is written separately)
+            entries.append((kmer_str, w.tell(), len(text) - 1))
+            w.write(text)
+
+    with open(str(path_bgz) + ".idx", "wb") as f:
+        f.write(b"LNKIDX")
+        f.write(_struct.pack(">iiqqq", 1, data.kmer_size,
+                             data.num_kmers_in_graph, len(entries), num_paths))
+        f.write(_struct.pack(">i", len(source)) + source.encode())
+        name = data.sample_name.encode()
+        f.write(_struct.pack(">i", len(name)) + name)
+        f.write(b"LNKIDX")
+        for kmer_str, vo, length in entries:
+            words = _km.pack_codes(_km.string_to_codes(kmer_str))
+            # NB: bytes(np.bytes_) strips trailing NULs; tobytes() keeps the
+            # fixed container width
+            f.write(_km.words_to_disk(words[None, :], data.kmer_size).tobytes())
+            f.write(_struct.pack(">qi", vo, length))
+
+
+class LinksRandomAccess:
+    """ConnectivityAnnotations over .ctp.bgz + .idx (lazy record fetch)."""
+
+    def __init__(self, path_bgz):
+        from . import bgzf
+        from .. import kmer as _km
+        self.path = str(path_bgz)
+        self.reader = bgzf.BgzfReader(self.path)
+        with open(self.path + ".idx", "rb") as f:
+            magic = f.read(6)
+            if magic != b"LNKIDX":
+                raise ValueError("bad links index magic")
+            ncolors, k, nkig, nkwl, nbytes = _struct.unpack(">iiqqq", f.read(32))
+            (slen,) = _struct.unpack(">i", f.read(4))
+            self.source = f.read(slen).decode()
+            names = []
+            for _ in range(ncolors):
+                (ln,) = _struct.unpack(">i", f.read(4))
+                names.append(f.read(ln).decode())
+            if f.read(6) != b"LNKIDX":
+                raise ValueError("bad links index trailer")
+            self.kmer_size = k
+            self.sample_name = names[0] if names else ""
+            self.num_kmers_in_graph = nkig
+            s = (k + 31) // 32
+            self.index: dict[str, tuple[int, int]] = {}
+            for _ in range(nkwl):
+                raw = f.read(8 * s)
+                vo, length = _struct.unpack(">qi", f.read(12))
+                import numpy as _np
+                words = _km.disk_to_words(_np.frombuffer(raw, dtype=_np.uint8), k)
+                kmer_str = _km.codes_to_string(_km.unpack_words(words[0], k))
+                self.index[kmer_str] = (vo, length)
+
+    def __contains__(self, kmer_str: str) -> bool:
+        return kmer_str in self.index
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def get(self, kmer_str: str):
+        if kmer_str not in self.index:
+            return None
+        vo, length = self.index[kmer_str]
+        block = self.reader.read_at(vo, length).decode()
+        lines = block.splitlines()
+        n = int(lines[0].split()[1])
+        recs = []
+        for line in lines[1:1 + n]:
+            lp = line.split()
+            covs = tuple(int(x) for x in lp[2].split(","))
+            recs.append(JunctionRecord(lp[0] == "F", int(lp[1]), covs, lp[3]))
+        return recs
+
+    @property
+    def records(self):
+        # full materialization (rarely needed; host tools only)
+        return {k: self.get(k) for k in self.index}
+
+
+def open_links(path):
+    """CortexLinks facade (CortexLinks.java:17-25): random access if a .idx
+    sidecar exists, else full in-memory load."""
+    import os
+    if os.path.exists(str(path) + ".idx"):
+        return LinksRandomAccess(path)
+    return read_links(path)
+
+
+# ---------------------------------------------------------------------------
 # fixture builder (TempLinksAssembler semantics)
 # ---------------------------------------------------------------------------
 

@@ -144,3 +144,54 @@ def test_cli_roundtrip(tmp_path):
 
     r = run("CovStats", "-g", str(gp))
     assert r.returncode == 0 and "kid" in r.stdout
+
+
+def test_find_unanchored():
+    import numpy as np
+    from corticall_tpu.models.reference_index import IndexedReference
+    rng = np.random.default_rng(71)
+    parent = "".join(rng.choice(list("ACGT"), 800))
+    # child has a placeable SNP and a free-floating unplaceable fragment
+    pos = 400
+    alt = "ACGT"[("ACGT".index(parent[pos]) + 1) % 4]
+    floating = "".join(rng.choice(list("ACGT"), 120))
+    child_seqs = [parent[:pos] + alt + parent[pos + 1:], floating]
+    g = fixtures.build_graph({"kid": child_seqs, "mom": [parent], "dad": [parent]}, 21)
+    rois = core.find_rois(g, "kid", ["mom", "dad"])
+    lookups = {"mom": IndexedReference({"chr1": parent})}
+    out = core.find_unanchored(g, rois, ["mom", "dad"], lookups)
+    excluded = {out.kmer_string(i) for i in range(out.num_records)}
+    # the floating fragment's kmers are excluded; the SNP chain is anchored
+    float_kmers = set()
+    for i in range(len(floating) - 21 + 1):
+        sk = floating[i:i + 21]
+        float_kmers.add(min(sk, km.revcomp(sk)))
+    roiset = {rois.kmer_string(i) for i in range(rois.num_records)}
+    assert excluded == roiset & float_kmers
+    assert len(excluded) > 0
+    snp_kmers = roiset - float_kmers
+    assert snp_kmers and not (snp_kmers & excluded)
+
+
+def test_indexlinks_cli(tmp_path):
+    import subprocess, sys, os
+    from corticall_tpu.io import links as lk
+    haplotypes = {"test": ["ACTGATTTCGATGCGATGCGATGCCACGGTGG"]}
+    reads = {"test": ["TTTCGATGCGATGCGATGCCACG"]}
+    g = fixtures.build_graph(haplotypes, 5)
+    links = lk.build_links(g, reads, "test")
+    p = tmp_path / "t.ctp.gz"
+    lk.write_links(p, links)
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, "-m", "corticall_tpu", "IndexLinks",
+                        "-l", str(p), "-s", "srcX"],
+                       capture_output=True, text=True, env=env, cwd=repo)
+    assert r.returncode == 0, r.stderr
+    bgz = tmp_path / "t.ctp.bgz"
+    assert bgz.exists() and (tmp_path / "t.ctp.bgz.idx").exists()
+    ra = lk.open_links(bgz)
+    assert ra.source == "srcX"
+    assert set(ra.index) == set(links.records)

@@ -178,3 +178,47 @@ def test_connected_components():
     d1 = e.dfs("GTTCT")
     comps = tu.connected_components(d1)
     assert len(comps) == 1
+
+
+def test_indexed_links_roundtrip(tmp_path):
+    """BGZF + binary .idx random access matches the in-memory links."""
+    from corticall_tpu.io import links as lk2
+    haplotypes = {"test": ["ACTGATTTCGATGCGATGCGATGCCACGGTGG"]}
+    reads = {"test": ["TTTCGATGCGATGCGATGCCACG"]}
+    g = fixtures.build_graph(haplotypes, 5)
+    links = lk2.build_links(g, reads, "test")
+    p = tmp_path / "t.ctp.bgz"
+    lk2.write_links_indexed(p, links, source="mysrc")
+    ra = lk2.open_links(p)
+    assert ra.source == "mysrc"
+    assert ra.sample_name == "test"
+    assert set(ra.index) == set(links.records)
+    for kk in links.records:
+        got = sorted(ra.get(kk), key=lambda r: (r.forward, r.choices))
+        want = sorted(links.records[kk], key=lambda r: (r.forward, r.choices))
+        assert got == want
+    # engine walk through random-access links reproduces the cycle golden
+    ra.source = ra.source  # facade quacks like LinksData for the engine
+    e = make_engine(g, [g.color_for_sample("test")], links=[ra])
+    assert to_contig(e.walk("ACTGA")) == "ACTGATTTCGATGCGATGCGATGCCACGGTGG"
+
+
+def test_bgzf_large_payload_roundtrip(tmp_path):
+    from corticall_tpu.io import bgzf
+    import numpy as np
+    rng = np.random.default_rng(3)
+    payload = bytes(rng.integers(32, 126, size=200_000).astype(np.uint8))
+    p = tmp_path / "x.bgz"
+    offsets = []
+    with bgzf.BgzfWriter(p) as w:
+        for i in range(0, len(payload), 7919):
+            offsets.append((w.tell(), min(7919, len(payload) - i)))
+            w.write(payload[i:i + 7919])
+    r = bgzf.BgzfReader(p)
+    pos = 0
+    for vo, n in offsets:
+        assert r.read_at(vo, n) == payload[pos:pos + n]
+        pos += n
+    # gzip-compatible whole-file read
+    import gzip
+    assert gzip.open(p, "rb").read() == payload
