@@ -109,11 +109,23 @@ def count_kmers(sequences, k: int, chunk_bases: int = 8_000_000):
     return kmers, np.minimum(acc_cov, 0xFFFFFFFF).astype(np.uint32), acc_in, acc_out
 
 
-def build_graph_from_reads(sequences, k: int, sample_name: str) -> gr.CortexGraph:
-    """`mccortex build -k <k> -S` equivalent: reads -> sorted 1-color graph."""
-    kmers, cov, in_m, out_m = count_kmers(sequences, k)
+def build_graph_from_reads(sequences, k: int, sample_name: str,
+                           use_native: bool = True) -> gr.CortexGraph:
+    """`mccortex build -k <k> -S` equivalent: reads -> sorted 1-color graph.
+
+    Uses the C++ native counting core (native.py) when available; falls back
+    to the vectorized numpy path."""
+    result = None
+    if use_native and k <= 64:
+        from . import native
+        sequences = list(sequences)
+        result = native.count_kmers_native(sequences, k)
+    if result is None:
+        result = count_kmers(sequences, k)
+    kmers, cov, in_m, out_m = result
     edges = (gr.rev4(in_m).astype(np.uint8) << np.uint8(4)) | out_m
-    return gr.from_arrays([sample_name], k, kmers, cov[:, None], edges[:, None])
+    return gr.from_arrays([sample_name], k, kmers, np.asarray(cov)[:, None],
+                          edges[:, None])
 
 
 def clean_graph(g: gr.CortexGraph, min_coverage: int = 2,

@@ -1,0 +1,112 @@
+"""ctypes binding for the C++ native core (native/corticall_native.cpp).
+
+Builds the shared library on first use (g++ -O3) and caches it next to the
+source; every consumer falls back to the numpy implementation when the
+toolchain or the library is unavailable, so the native path is an accelerator,
+never a requirement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_REPO, "native", "corticall_native.cpp")
+_SO = os.path.join(_REPO, "native", "corticall_native.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             _SRC, "-o", _SO],
+            check=True, capture_output=True, timeout=300)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) or (os.path.exists(_SRC) and
+                                   os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.ct_count_kmers.restype = ctypes.c_int64
+    lib.ct_count_kmers.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lib.ct_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def count_kmers_native(sequences, k: int):
+    """Native twin of build.count_kmers: returns (kmers uint32[N, W],
+    coverage uint32[N], in_mask uint8[N], out_mask uint8[N]) or None when the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None or k > 64:
+        return None
+    from . import kmer as km
+
+    seqs = list(sequences)
+    blob = "".join(seqs).encode()
+    offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in seqs], out=offsets[1:])
+
+    hi = ctypes.POINTER(ctypes.c_uint64)()
+    lo = ctypes.POINTER(ctypes.c_uint64)()
+    cov = ctypes.POINTER(ctypes.c_uint32)()
+    im = ctypes.POINTER(ctypes.c_uint8)()
+    om = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.ct_count_kmers(
+        blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(seqs), k,
+        ctypes.byref(hi), ctypes.byref(lo), ctypes.byref(cov),
+        ctypes.byref(im), ctypes.byref(om))
+    if n < 0:
+        return None
+    try:
+        hi_a = np.ctypeslib.as_array(hi, shape=(n,)).copy() if n else np.zeros(0, np.uint64)
+        lo_a = np.ctypeslib.as_array(lo, shape=(n,)).copy() if n else np.zeros(0, np.uint64)
+        cov_a = np.ctypeslib.as_array(cov, shape=(n,)).copy() if n else np.zeros(0, np.uint32)
+        im_a = np.ctypeslib.as_array(im, shape=(n,)).copy() if n else np.zeros(0, np.uint8)
+        om_a = np.ctypeslib.as_array(om, shape=(n,)).copy() if n else np.zeros(0, np.uint8)
+    finally:
+        for p in (hi, lo, cov, im, om):
+            lib.ct_free(p)
+
+    # (hi, lo) right-aligned 128-bit value -> uint32 words [N, W]
+    w = km.words_per_kmer(k)
+    full = np.empty((n, 4), dtype=np.uint32)
+    full[:, 0] = (hi_a >> np.uint64(32)).astype(np.uint32)
+    full[:, 1] = (hi_a & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    full[:, 2] = (lo_a >> np.uint64(32)).astype(np.uint32)
+    full[:, 3] = (lo_a & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    kmers = full[:, 4 - w:]
+    return np.ascontiguousarray(kmers), cov_a, im_a, om_a

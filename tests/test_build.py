@@ -92,3 +92,32 @@ def test_read_sequences_fasta_fastq(tmp_path):
     fq = tmp_path / "r.fq"
     fq.write_text("@r1\nACGTACGT\n+\nIIIIIIII\n@r2\nGGGG\n+\nIIII\n")
     assert list(rdio.read_sequences(fq)) == ["ACGTACGT", "GGGG"]
+
+
+def test_native_counting_matches_numpy():
+    from corticall_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(73)
+    for k in (15, 21, 31, 33, 47, 63):
+        genome = _genome(rng, 1500)
+        reads = _tile_reads(genome, 100, 30) + ["ACGTNNACGT" * 5]
+        kn, cn, inn, on = native.count_kmers_native(reads, k)
+        kp, cp, ip, op = bd.count_kmers(reads, k)
+        np.testing.assert_array_equal(kn, kp, err_msg=f"k={k} kmers")
+        np.testing.assert_array_equal(cn, cp, err_msg=f"k={k} cov")
+        np.testing.assert_array_equal(inn, ip, err_msg=f"k={k} in")
+        np.testing.assert_array_equal(on, op, err_msg=f"k={k} out")
+
+
+def test_build_native_matches_fixture():
+    from corticall_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(74)
+    genome = _genome(rng, 1000)
+    g1 = bd.build_graph_from_reads(_tile_reads(genome), 21, "s", use_native=True)
+    g2 = bd.build_graph_from_reads(_tile_reads(genome), 21, "s", use_native=False)
+    assert g1.record_strings() == g2.record_strings()
