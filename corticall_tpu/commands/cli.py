@@ -216,6 +216,88 @@ def cmd_thread(args):
     lkio.write_links(args.out, links)
 
 
+def cmd_range(args):
+    g = gr.CortexGraph.load(args.graph)
+    with _out_stream(args.out) as f:
+        for i in range(args.start, min(args.end, g.num_records)):
+            f.write(g.record_string(i) + "\n")
+
+
+def cmd_recover_excluded(args):
+    from . import extra
+    g = gr.CortexGraph.load(args.graph)
+    dirty = gr.CortexGraph.load(args.dirty)
+    extra.recover_excluded_kmers(g, dirty).save(args.out)
+
+
+def cmd_compare_rois(args):
+    from . import extra
+    truth = gr.CortexGraph.load(args.truth)
+    ev = gr.CortexGraph.load(args.eval)
+    res = extra.compare_rois(truth, ev)
+    with _out_stream(args.out) as f:
+        f.write(f"t={res['t']} e={res['e']} pt={res['pt']} "
+                f"pe={res['pe']} o={res['o']}\n")
+
+
+def cmd_combine_contigs(args):
+    from . import extra
+    from ..io import fasta as faio
+    contigs = faio.read_fasta_full_headers(args.contigs)
+    partitions = faio.read_fasta_full_headers(args.partitions)
+    roi = gr.CortexGraph.load(args.roi)
+    with _out_stream(args.out) as f:
+        for header, seq in extra.combine_contigs(contigs, partitions, roi):
+            f.write(f">{header}\n{seq}\n")
+
+
+def cmd_filter_partitions(args):
+    from . import extra
+    from ..io import fasta as faio
+    contigs = faio.read_fasta_full_headers(args.contigs)
+    roi = gr.CortexGraph.load(args.roi)
+    with _out_stream(args.out) as f:
+        for header, seq in extra.filter_partitions(contigs, roi,
+                                                   args.novel_kmer_threshold):
+            f.write(f">{header}\n{seq}\n")
+
+
+def cmd_coverage(args):
+    from . import extra
+    from ..io import fasta as faio
+    g = gr.CortexGraph.load(args.graph)
+    contigs = faio.read_fasta_full_headers(args.contigs)
+    with _out_stream(args.out) as f:
+        f.write("contig\tkmer\tindex\tcoverage\n")
+        for row in extra.coverage_table(g, contigs, args.sample):
+            f.write("\t".join(str(x) for x in row) + "\n")
+
+
+def cmd_sim_to_vcf(args):
+    from . import extra
+    from ..caller.variants import write_vcf
+    from ..io import table as tblio
+    from ..models.reference_index import IndexedReference
+    rows = list(tblio.TableReader(args.sim))
+    backgrounds = {}
+    for spec in args.backgrounds:
+        name, path = spec.split(":", 1)
+        backgrounds[name] = IndexedReference(path)
+    variants = extra.sim_to_vcf(rows, backgrounds)
+    sd = []
+    for ir in backgrounds.values():
+        sd.extend((n, len(s)) for n, s in ir.seqs.items())
+    write_vcf(args.out, variants, sd)
+
+
+def cmd_to_gfa1(args):
+    from ..io import fasta as faio
+    from ..io import gfa as gfaio
+    g = gr.CortexGraph.load(args.graph)
+    contigs = faio.read_fasta(args.fasta)
+    gfaio.write_gfa1(args.out, g, contigs, args.sampleName)
+
+
 def cmd_vcf_to_kmers(args):
     from .. import evaluation as ev
     from ..io import fasta as faio
@@ -468,6 +550,55 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--graph", "-g", required=True)
     sp.add_argument("--reads", "-1", action="append", required=True)
     sp.add_argument("--sample", "-s")
+    sp.add_argument("--out", "-o", required=True)
+
+    sp = add("Range", cmd_range, help="print a record index range")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--start", "-s", type=int, default=0)
+    sp.add_argument("--end", "-e", type=int, default=0)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("RecoverExcludedKmers", cmd_recover_excluded,
+             help="re-admit cleaned-away child kmers present in the dirty graph")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--dirty", "-d", required=True)
+    sp.add_argument("--out", "-o", required=True)
+
+    sp = add("CompareROIs", cmd_compare_rois, help="truth/eval ROI Venn")
+    sp.add_argument("--truth", "-t", required=True)
+    sp.add_argument("--eval", "-e", required=True)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("CombineContigs", cmd_combine_contigs,
+             help="extend contigs with best-overlap partitions")
+    sp.add_argument("--contigs", "-c", required=True)
+    sp.add_argument("--partitions", "-p", required=True)
+    sp.add_argument("--roi", "-r", required=True)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("FilterPartitions", cmd_filter_partitions,
+             help="drop weakly-supported partitions")
+    sp.add_argument("--contigs", "-c", required=True)
+    sp.add_argument("--roi", "-r", required=True)
+    sp.add_argument("--novel_kmer_threshold", "-nt", type=int, default=5)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("Coverage", cmd_coverage, help="per-kmer coverage along contigs")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--contigs", "-c", required=True)
+    sp.add_argument("--sample", "-s", required=True)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("SimToVCF", cmd_sim_to_vcf, help="simulation truth table -> VCF")
+    sp.add_argument("--sim", "-s", required=True)
+    sp.add_argument("--backgrounds", "-b", action="append", required=True,
+                    help="name:fasta pairs")
+    sp.add_argument("--out", "-o", required=True)
+
+    sp = add("ToGfa1", cmd_to_gfa1, help="export contigs + overlaps as GFA1")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--fasta", "-f", required=True)
+    sp.add_argument("--sampleName", "-s")
     sp.add_argument("--out", "-o", required=True)
 
     sp = add("VCFToKmers", cmd_vcf_to_kmers, help="emit alt-haplotype kmers per variant")
