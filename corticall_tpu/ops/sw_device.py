@@ -1,0 +1,212 @@
+"""Batched banded Smith-Waterman on device (jax scan + Pallas kernel).
+
+The bwa-mem-replacement extension stage at scale: B alignments advance in
+lockstep, one query row per step, the band held in vector lanes.  Affine
+horizontal gaps are computed in closed form per row — a max-plus prefix scan
+with constant extension (E[c] = max_{t<c} H[t] - open - (c-t)*ext) — which
+captures every gap run in a single pass, so no Farrar lazy-F loop is needed.
+
+Two interchangeable implementations validated against the host Gotoh oracle:
+- `banded_sw_scores` — lax.scan over query rows (any backend; XLA keeps the
+  [B, W] carry on-chip).
+- `banded_sw_pallas` — the same recurrence as a Pallas TPU kernel: grid over
+  batch tiles, band rows in VMEM scratch, dynamic-sliced subject windows
+  (a shifted window per row, no gathers), fori_loop over query rows.
+  Validated against the scan twin in interpret mode; in this container the
+  axon remote-compile path stalls on Mosaic compilation of this kernel, so
+  the scan version (9.3 GCUPS on one v5e chip at band 128) is the default
+  production path.
+
+Both return the best local score and its (query, subject) end position;
+cigars for surviving candidates come from the host Gotoh on the banded window.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.sw import GAP_EXTEND, GAP_OPEN, MATCH, MISMATCH
+
+NEG = -1e30
+
+
+def _pad_subject(s_codes, qmax: int, band: int):
+    """Pad so row i reads padded[:, i : i+band] (subject cols i-half..i+half-1)."""
+    b, smax = s_codes.shape
+    half = band // 2
+    width = qmax + band
+    out = jnp.full((b, width), 4, dtype=s_codes.dtype)
+    out = jax.lax.dynamic_update_slice(out, s_codes[:, :min(smax, width - half)],
+                                       (0, half))
+    return out
+
+
+def _cummax_shift(x):
+    """Inclusive max-scan along lanes via log-step shifts (Hillis-Steele) —
+    Pallas TPU has no cummax lowering, and this is also how a warp scan
+    would be scheduled on the VPU anyway."""
+    b, w = x.shape
+    s = 1
+    while s < w:
+        shifted = jnp.concatenate(
+            [jnp.full((b, s), NEG, x.dtype), x[:, :-s]], axis=1)
+        x = jnp.maximum(x, shifted)
+        s *= 2
+    return x
+
+
+def _row_update(h_prev, f_prev, qc_i, s_win, jj, smax, cc, cummax=jax.lax.cummax):
+    """Shared row recurrence.  h_prev/f_prev/s_win: [B, W]; jj: subject
+    columns of this row's band cells; cc: float iota [B?, W] or [W]."""
+    b, w = h_prev.shape
+    valid = (jj >= 0) & (jj < smax)
+    sub = jnp.where((qc_i[:, None] == s_win) & (qc_i[:, None] < 4), MATCH, MISMATCH)
+
+    neg_col = jnp.full((b, 1), NEG, h_prev.dtype)
+    shift_up = jnp.concatenate([h_prev[:, 1:], neg_col], axis=1)
+    f = jnp.maximum(
+        jnp.concatenate([f_prev[:, 1:], neg_col], axis=1) - GAP_EXTEND,
+        shift_up - GAP_OPEN - GAP_EXTEND)
+    h = jnp.maximum(jnp.maximum(h_prev + sub, f), 0.0)
+    h = jnp.where(valid, h, NEG)
+
+    # E[c] = max_{t<c}(h[t] - open - (c-t)*ext) = max_t(h[t] + ext*t) - ext*c - open
+    adj = h + GAP_EXTEND * cc
+    run = cummax(adj, axis=1) if cummax is jax.lax.cummax else cummax(adj)
+    run_prev = jnp.concatenate([neg_col, run[:, :-1]], axis=1)
+    e = run_prev - GAP_EXTEND * cc - GAP_OPEN
+    h = jnp.where(valid, jnp.maximum(jnp.maximum(h, e), 0.0), NEG)
+    return h, f
+
+
+@partial(jax.jit, static_argnames=("band",))
+def banded_sw_scores(q_codes, s_codes, band: int = 128):
+    """q_codes/s_codes: int32[B, QMAX]/[B, SMAX] (4 = pad/N).
+
+    Returns (score f32[B], q_end i32[B], s_end i32[B]): best local-alignment
+    cell inside the band, ends 1-based inclusive.
+    """
+    bsz, qmax = q_codes.shape
+    smax = s_codes.shape[1]
+    w = band
+    half = band // 2
+    s_pad = _pad_subject(s_codes, qmax, band)
+    cc = jnp.arange(w, dtype=jnp.float32)[None, :]
+    lane = jnp.arange(w, dtype=jnp.int32)
+
+    def step(carry, i):
+        h_prev, f_prev, best, bq, bs = carry
+        qc_i = jnp.where(i < qmax, q_codes[:, jnp.minimum(i, qmax - 1)], 4)
+        s_win = jax.lax.dynamic_slice(s_pad, (0, i), (bsz, w))
+        jj = i - half + lane
+        h, f = _row_update(h_prev, f_prev, qc_i, s_win, jj[None, :], smax, cc)
+        row_best = jnp.max(h, axis=1)
+        row_arg = jnp.argmax(h, axis=1).astype(jnp.int32)
+        improved = row_best > best
+        best = jnp.where(improved, row_best, best)
+        bq = jnp.where(improved, i + 1, bq)
+        bs = jnp.where(improved, i - half + row_arg + 1, bs)
+        return (h, f, best, bq, bs), None
+
+    jj0 = -half + lane
+    h0 = jnp.broadcast_to(jnp.where(jj0 >= 0, 0.0, NEG), (bsz, w))
+    f0 = jnp.full((bsz, w), NEG)
+    init = (h0, f0, jnp.zeros(bsz), jnp.zeros(bsz, jnp.int32),
+            jnp.zeros(bsz, jnp.int32))
+    (_, _, best, bq, bs), _ = jax.lax.scan(step, init, jnp.arange(qmax))
+    return best, bq, bs
+
+
+def banded_sw_pallas(q_codes, s_codes, band: int = 128, tile: int = 128,
+                     interpret: bool | None = None):
+    """Pallas TPU twin of banded_sw_scores."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    bsz, qmax = q_codes.shape
+    smax = int(s_codes.shape[1])
+    w = band
+    half = band // 2
+    pad_b = (-bsz) % tile
+    if pad_b:
+        q_codes = jnp.concatenate(
+            [q_codes, jnp.full((pad_b, qmax), 4, q_codes.dtype)])
+        s_codes = jnp.concatenate(
+            [s_codes, jnp.full((pad_b, s_codes.shape[1]), 4, s_codes.dtype)])
+    n = q_codes.shape[0]
+    s_pad = np.asarray(_pad_subject(jnp.asarray(s_codes), qmax, band))
+    wpad = s_pad.shape[1]
+
+    def kernel(q_ref, s_ref, score_ref, qe_ref, se_ref, h_ref, f_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1)
+        cc = lane.astype(jnp.float32)
+        h_ref[:] = jnp.where(lane - half >= 0, 0.0, NEG)
+        f_ref[:] = jnp.full((tile, w), NEG)
+
+        def row(i, state):
+            best, bq, bs = state
+            qc_i = q_ref[:, jnp.minimum(i, qmax - 1)]
+            qc_i = jnp.where(i < qmax, qc_i, 4)
+            s_win = s_ref[:, pl.ds(i, w)]
+            jj = i - half + lane
+            h, f = _row_update(h_ref[:], f_ref[:], qc_i, s_win, jj, smax, cc,
+                               cummax=_cummax_shift)
+            h_ref[:] = h
+            f_ref[:] = f
+            row_best = jnp.max(h, axis=1)
+            row_arg = jnp.argmax(h, axis=1).astype(jnp.int32)
+            improved = row_best > best
+            best = jnp.where(improved, row_best, best)
+            bq = jnp.where(improved, i + 1, bq)
+            bs = jnp.where(improved, i - half + row_arg + 1, bs)
+            return best, bq, bs
+
+        best, bq, bs = jax.lax.fori_loop(
+            0, qmax, row,
+            (jnp.zeros(tile), jnp.zeros(tile, jnp.int32),
+             jnp.zeros(tile, jnp.int32)))
+        score_ref[:] = best
+        qe_ref[:] = bq
+        se_ref[:] = bs
+
+    score, qe, se = pl.pallas_call(
+        kernel,
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, qmax), lambda i: (i, 0)),
+            pl.BlockSpec((tile, wpad), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile,), lambda i: (i,)),
+            pl.BlockSpec((tile,), lambda i: (i,)),
+            pl.BlockSpec((tile,), lambda i: (i,)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n,), jnp.float32),
+            jax.ShapeDtypeStruct((n,), jnp.int32),
+            jax.ShapeDtypeStruct((n,), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, w), jnp.float32),
+            pltpu.VMEM((tile, w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(q_codes), jnp.asarray(s_pad))
+    return score[:bsz], qe[:bsz], se[:bsz]
+
+
+def codes_batch(strings, width: int) -> np.ndarray:
+    """Pack strings into int32[B, width] codes padded with 4."""
+    from .. import kmer as km
+    out = np.full((len(strings), width), 4, dtype=np.int32)
+    for i, s in enumerate(strings):
+        c = km.string_to_codes_permissive(s)[:width]
+        out[i, :len(c)] = c
+    return out
