@@ -1,0 +1,322 @@
+"""Batched link-assisted walks: McCortex link-following on device.
+
+The host LinkStore (traversal/linkstore.py) keeps an unbounded map of active
+link elements per walk; here each walk carries a fixed-capacity element table
+in device arrays — (choice words, length, position, age, insertion sequence) —
+and every step runs the exact store semantics vectorized over B walks:
+
+  1. arriving at a kmer appends its link records (orientation-gated);
+  2. at a junction, the oldest elements must agree on the next choice char
+     (insertion-ordered tie handling mirrors LinkStore.java:92-144, including
+     the quirk that the emitted char comes from the latest element of the
+     chosen junction list);
+  3. consuming a choice advances matching elements and expires the rest;
+  4. ages bump once per junction and once per step that added elements.
+
+Capacity overflows set a per-walk flag so callers can replay those walks on
+the host oracle (they are rare; the Java store's live size is small).
+
+A reverse walk equals a forward walk from the reverse complement (the
+orientation gating works out to the same condition, and complemented choices
+correspond to appending on the rc strand), so one kernel serves assemble()'s
+both directions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import hashtable as ht
+from . import kmer_jax as kj
+from .. import kmer as km
+
+CAP = 16                 # active link elements per walk
+MAX_J = 32               # junction choices per link record
+JW = (MAX_J + 15) // 16  # uint32 words per choice string
+MAX_ADD = 8              # link records appended per kmer arrival
+
+
+@dataclass
+class LinkArrays:
+    """CSR link pool over graph records (device-resident)."""
+    offsets: np.ndarray    # int32[N+1]
+    choices: np.ndarray    # uint32[P, JW] (choice j in bits 2*(j%16) of word j//16)
+    lengths: np.ndarray    # int32[P]
+    forward: np.ndarray    # bool[P]
+    truncated: int = 0     # records dropped for exceeding MAX_J
+
+
+def build_link_arrays(graph, links_list) -> LinkArrays:
+    """Pack LinksData records into CSR arrays aligned with graph record order."""
+    per_record: dict[int, list] = {}
+    truncated = 0
+    samples = set(graph.sample_names)
+    for lm in links_list:
+        if lm.sample_name not in samples:
+            continue
+        keys = lm.records if hasattr(lm, "records") else lm.index
+        for kmer_str in keys:
+            rec = graph.find_record(kmer_str)
+            if rec < 0:
+                continue
+            jrs = lm.records[kmer_str] if hasattr(lm, "records") else lm.get(kmer_str)
+            for jr in jrs:
+                if len(jr.choices) > MAX_J:
+                    truncated += 1
+                    continue
+                per_record.setdefault(rec, []).append(jr)
+
+    n = graph.num_records
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    pool = []
+    for r in range(n):
+        offsets[r] = len(pool)
+        for jr in per_record.get(r, []):
+            words = np.zeros(JW, dtype=np.uint32)
+            for j, c in enumerate(jr.choices):
+                words[j // 16] |= np.uint32("ACGT".index(c)) << np.uint32(2 * (j % 16))
+            pool.append((words, len(jr.choices), jr.forward))
+    offsets[n] = len(pool)
+
+    p = max(len(pool), 1)
+    choices = np.zeros((p, JW), dtype=np.uint32)
+    lengths = np.zeros(p, dtype=np.int32)
+    forward = np.zeros(p, dtype=bool)
+    for i, (w, l, f) in enumerate(pool):
+        choices[i] = w
+        lengths[i] = l
+        forward[i] = f
+    return LinkArrays(offsets, choices, lengths, forward, truncated)
+
+
+def _char_at(choices, pos):
+    """choices [..., JW] uint32, pos [...] int32 -> 2-bit code at pos."""
+    word = jnp.take_along_axis(choices, (pos[..., None] // 16), axis=-1)[..., 0]
+    return (word >> (2 * (pos % 16)).astype(jnp.uint32)) & 3
+
+
+@partial(jax.jit, static_argnames=("k", "max_probe", "num_steps"))
+def walk_links_forward(entries, slots_idx, keys, link_off, link_choices,
+                       link_len, link_fw, seeds, k: int, max_probe: int,
+                       num_steps: int):
+    """Forward walks with link following.
+
+    entries: fused walk entries uint32[M, W+1] (edge-byte payload);
+    slots_idx/keys: plain hash table for record-index lookups (link CSR);
+    link_*: LinkArrays fields; seeds: uint32[B, W].
+
+    Returns (bases int8[T, B], overflow bool[B], steps int32[B]).
+    """
+    b = seeds.shape[0]
+    w = seeds.shape[1]
+    m = entries.shape[0]
+    mask = jnp.uint32(m - 1)
+
+    def lookup_edge_and_rec(canon):
+        e_payload = jnp.zeros(b, jnp.uint32)
+        rec = ht.lookup(slots_idx, keys, canon, max_probe)
+        h = kj.hash_words(canon) & mask
+        resolved = jnp.zeros(b, bool)
+
+        def body(state):
+            p, payload, resolved = state
+            slot = ((h + p.astype(jnp.uint32)) & mask).astype(jnp.int32)
+            e = entries[slot]
+            tag = e[:, w]
+            match = (tag >= jnp.uint32(0x80000000)) & jnp.all(e[:, :w] == canon, axis=-1)
+            empty = tag == 0
+            payload = jnp.where(~resolved & match, tag & jnp.uint32(0x7FFFFFFF), payload)
+            resolved = resolved | match | empty
+            return p + 1, payload, resolved
+
+        def cond(state):
+            p, _, resolved = state
+            return (p < max_probe) & ~jnp.all(resolved)
+
+        _, e_payload, _ = jax.lax.while_loop(cond, body,
+                                             (jnp.int32(0), e_payload, resolved))
+        return e_payload, rec
+
+    def step(state, _):
+        (cur, active, overflow, el_choices, el_len, el_pos, el_age, el_valid,
+         el_seq, seq_counter, stepno) = state
+        is_first = stepno == 0
+
+        canon, flipped = kj.canonicalize_words(cur, k)
+        edge, rec = lookup_edge_and_rec(canon)
+
+        # -- 1. add links of the current kmer ------------------------------
+        off = jnp.where(rec >= 0, link_off[jnp.maximum(rec, 0)], 0)
+        cnt = jnp.where(rec >= 0,
+                        link_off[jnp.maximum(rec, 0) + 1] - off, 0)
+        added_any = jnp.zeros(b, bool)
+        for j in range(MAX_ADD):
+            has = (j < cnt) & active
+            idx = jnp.minimum(off + j, link_choices.shape[0] - 1)
+            fw_rec = link_fw[idx]
+            gate = has & (fw_rec == ~flipped)
+            # first free slot (argmin over valid: False < True)
+            free_slot = jnp.argmin(el_valid, axis=1)
+            has_free = ~jnp.all(el_valid, axis=1)
+            overflow = overflow | (gate & ~has_free)
+            do = gate & has_free
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, (b, CAP), 1)
+                      == free_slot[:, None]) & do[:, None]
+            el_choices = jnp.where(onehot[..., None], link_choices[idx][:, None, :],
+                                   el_choices)
+            el_len = jnp.where(onehot, link_len[idx][:, None], el_len)
+            el_pos = jnp.where(onehot, 0, el_pos)
+            el_age = jnp.where(onehot, 0, el_age)
+            el_seq = jnp.where(onehot, seq_counter[:, None] + j, el_seq)
+            el_valid = el_valid | onehot
+            added_any = added_any | do
+        seq_counter = seq_counter + MAX_ADD
+        overflow = overflow | (cnt > MAX_ADD)
+
+        # -- 2. successor choice -------------------------------------------
+        next_mask = jnp.where(flipped, edge >> 4, edge & 0xF).astype(jnp.uint32)
+        n = kj.popcount4(next_mask)
+        single_base = kj.lowest_set_base(next_mask)
+
+        exhausted = el_pos >= el_len
+        live = el_valid & ~exhausted
+        age_masked = jnp.where(live, el_age, -1)
+        oldest_age = jnp.max(age_masked, axis=1)
+        is_oldest = live & (el_age == oldest_age[:, None]) & (oldest_age[:, None] >= 0)
+        chars = _char_at(el_choices, el_pos)
+        # agreement among oldest
+        any_oldest = jnp.any(is_oldest, axis=1)
+        first_oldest = jnp.argmax(is_oldest, axis=1)
+        rep_char = jnp.take_along_axis(chars, first_oldest[:, None], axis=1)[:, 0]
+        agree = jnp.all(~is_oldest | (chars == rep_char[:, None]), axis=1)
+
+        # the chosen junction list = rep's words; the emitted char comes from
+        # the latest-inserted element with identical words (LinkStore quirk)
+        rep_words = jnp.take_along_axis(
+            el_choices, first_oldest[:, None, None], axis=1)[:, 0, :]
+        same_list = el_valid & jnp.all(el_choices == rep_words[:, None, :], axis=-1)
+        seq_masked = jnp.where(same_list, el_seq, -1)
+        latest = jnp.argmax(seq_masked, axis=1)
+        choice = jnp.take_along_axis(chars, latest[:, None], axis=1)[:, 0]
+
+        have_choice = any_oldest & agree
+        choice_ok = have_choice & ((next_mask >> choice) & 1).astype(bool)
+
+        junction = n > 1
+        take_single = active & (n == 1)
+        # the seed step mirrors seek(): successor by degree only, the store
+        # is not consulted (TraversalEngine.java:321-335)
+        take_choice = active & junction & choice_ok & ~is_first
+        base = jnp.where(junction, choice, single_base.astype(jnp.uint32))
+        advance = take_single | take_choice
+
+        # -- 3. consume the choice at junctions ----------------------------
+        consumed = take_choice
+        match = chars == choice[:, None]
+        keep = el_valid & match & (el_pos + 1 < el_len)
+        el_pos = jnp.where(consumed[:, None] & keep, el_pos + 1, el_pos)
+        el_valid = jnp.where(consumed[:, None], keep, el_valid)
+
+        # -- 4. ages -------------------------------------------------------
+        bump = (consumed | (active & junction & ~is_first)).astype(el_age.dtype)
+        # seed links stay age 0 until the first real next() step (Java adds
+        # the seed's and first kmer's links inside the same next() call)
+        new_paths = jnp.any(el_valid & (el_age == 0), axis=1)
+        bump = bump + (active & new_paths & ~is_first).astype(el_age.dtype)
+        el_age = jnp.where(el_valid, el_age + bump[:, None], el_age)
+
+        store_active = jnp.any(el_valid, axis=1)
+        nxt = kj.shift_append(cur, base, k)
+        cur = jnp.where(advance[:, None], nxt, cur)
+        emitted = jnp.where(advance, base.astype(jnp.int8), -1)
+        emitted = jnp.where(advance & store_active,
+                            emitted | jnp.int8(8), emitted)  # bit 3 = store active
+        active = advance
+        return (cur, active, overflow, el_choices, el_len, el_pos, el_age,
+                el_valid, el_seq, seq_counter, stepno + 1), emitted
+
+    init = (
+        seeds,
+        jnp.ones(b, bool),
+        jnp.zeros(b, bool),
+        jnp.zeros((b, CAP, JW), jnp.uint32),
+        jnp.zeros((b, CAP), jnp.int32),
+        jnp.zeros((b, CAP), jnp.int32),
+        jnp.zeros((b, CAP), jnp.int32),
+        jnp.zeros((b, CAP), bool),
+        jnp.zeros((b, CAP), jnp.int32),
+        jnp.zeros(b, jnp.int32),
+        jnp.zeros(b, jnp.int32),
+    )
+    (_, active, overflow, *_), emitted = jax.lax.scan(
+        step, init, None, length=num_steps)
+    steps = (emitted >= 0).sum(axis=0).astype(jnp.int32)
+    return emitted, overflow, steps
+
+
+def decode_linked_walk(seed: str, emitted: np.ndarray,
+                       max_branch_length: int = 75000) -> str:
+    """Emitted stream -> extension string with the reference's seen-set rule.
+
+    Each emitted value is -1 (walk ended) or base | (store_active << 3).
+    The reference permits revisits while the store is active
+    (TraversalEngine.java:262); the device records every advance, and we stop
+    where Java would: at the first revisited kmer reached while inactive.
+    """
+    k = len(seed)
+    out = []
+    seen: set = set()
+    cur = seed
+    for v in emitted:
+        v = int(v)
+        if v < 0:
+            break
+        base = "ACGT"[v & 3]
+        store_active = bool(v & 8)
+        nxt = cur[1:] + base
+        if nxt in seen and not store_active:
+            break
+        seen.add(nxt)
+        out.append(base)
+        cur = nxt
+        if len(out) >= max_branch_length:
+            break
+    return "".join(out)
+
+
+def assemble_batch_links(dg, graph, colors, links_list, seeds: list,
+                         num_steps: int = 1024):
+    """Bidirectional link-assisted contigs (TraversalEngine.assemble with
+    links).  dg: DeviceGraph; graph: host CortexGraph (for CSR build)."""
+    k = dg.kmer_size
+    table = ht.build(np.asarray(dg.kmers))
+    edges_combined = np.asarray(dg.combined_edges(colors))
+    entries = jnp.asarray(table.build_walk_entries(np.asarray(dg.kmers),
+                                                   edges_combined))
+    la = build_link_arrays(graph, links_list)
+    args = (entries, jnp.asarray(table.slots), dg.kmers,
+            jnp.asarray(la.offsets), jnp.asarray(la.choices),
+            jnp.asarray(la.lengths), jnp.asarray(la.forward))
+
+    fwd = jnp.asarray(km.pack_codes(km.strings_to_codes(seeds), k))
+    rc_strs = [km.revcomp(s) for s in seeds]
+    rev = jnp.asarray(km.pack_codes(km.strings_to_codes(rc_strs), k))
+
+    fe, fo, _ = walk_links_forward(*args, fwd, k, table.max_probe, num_steps)
+    re_, ro, _ = walk_links_forward(*args, rev, k, table.max_probe, num_steps)
+    fe = np.asarray(fe).T
+    re_ = np.asarray(re_).T
+
+    contigs = []
+    overflow = np.asarray(fo) | np.asarray(ro)
+    for i, seed in enumerate(seeds):
+        fwd_ext = decode_linked_walk(seed, fe[i], num_steps)
+        back_ext = decode_linked_walk(rc_strs[i], re_[i], num_steps)
+        prefix = km.revcomp(back_ext) if back_ext else ""
+        contigs.append(prefix + seed + fwd_ext)
+    return contigs, overflow
