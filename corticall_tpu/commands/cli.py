@@ -216,6 +216,56 @@ def cmd_thread(args):
     lkio.write_links(args.out, links)
 
 
+def cmd_index_bam(args):
+    from .. import kmer_index as ki
+    ki.index_bam(args.bam, args.kmerSize)
+
+
+def cmd_query_index(args):
+    from .. import kmer_index as ki
+    idx = ki.KmerIndexFile(args.bam, args.kmerSize)
+    with _out_stream(args.out) as f:
+        for rec in idx.query_reads(args.kmer):
+            f.write(f"@{rec['name']}\n{rec['seq']}\n")
+
+
+def cmd_print_index(args):
+    from .. import kmer_index as ki
+    idx = ki.KmerIndexFile(args.bam, args.kmerSize)
+    with _out_stream(args.out) as f:
+        for i in range(len(idx)):
+            from .. import kmer as km2
+            words = km2.disk_to_words(idx.records["kmer"][i:i + 1], idx.k)
+            sk = km2.codes_to_string(km2.unpack_words(words[0], idx.k))
+            f.write(f"{sk}\t{int(idx.records['start'][i])}\t"
+                    f"{int(idx.records['end'][i])}\n")
+
+
+def cmd_collect_reads(args):
+    from .. import kmer_index as ki
+    roi = gr.CortexGraph.load(args.roi)
+    idx = ki.KmerIndexFile(args.bam, roi.kmer_size)
+    seen = set()
+    with _out_stream(args.out) as f:
+        for i in range(roi.num_records):
+            for rec in idx.query_reads(roi.kmer_string(i)):
+                key = (rec["name"], rec["seq"])
+                if key not in seen:
+                    seen.add(key)
+                    f.write(f">{rec['name']}\n{rec['seq']}\n")
+
+
+def cmd_assembly_quality(args):
+    from .. import quality
+    from ..models.reference_index import IndexedReference
+    eval_g = gr.CortexGraph.load(args.eval)
+    comp_g = gr.CortexGraph.load(args.comp)
+    ref = IndexedReference(args.evalRef)
+    q = quality.compute_assembly_quality(eval_g, comp_g, ref)
+    with _out_stream(args.out) as f:
+        f.write(f"{q}\n")
+
+
 def cmd_range(args):
     g = gr.CortexGraph.load(args.graph)
     with _out_stream(args.out) as f:
@@ -552,6 +602,34 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--sample", "-s")
     sp.add_argument("--out", "-o", required=True)
 
+    sp = add("IndexBam", cmd_index_bam, help="build a kmer->read index for a BAM")
+    sp.add_argument("--bam", "-b", required=True)
+    sp.add_argument("--kmerSize", "-k", type=int, required=True)
+
+    sp = add("QueryIndex", cmd_query_index, help="fetch reads containing a kmer")
+    sp.add_argument("--bam", "-b", required=True)
+    sp.add_argument("--kmerSize", "-k", type=int, required=True)
+    sp.add_argument("--kmer", "-s", required=True)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("PrintIndex", cmd_print_index, help="dump a kmer index")
+    sp.add_argument("--bam", "-b", required=True)
+    sp.add_argument("--kmerSize", "-k", type=int, required=True)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("CollectReads", cmd_collect_reads,
+             help="collect reads containing ROI kmers")
+    sp.add_argument("--bam", "-b", required=True)
+    sp.add_argument("--roi", "-r", required=True)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("ComputeAssemblyQuality", cmd_assembly_quality,
+             help="Phred-style assembly quality vs a truth graph")
+    sp.add_argument("--eval", "-e", required=True)
+    sp.add_argument("--comp", "-c", required=True)
+    sp.add_argument("--evalRef", "-r", required=True)
+    sp.add_argument("--out", "-o", default="-")
+
     sp = add("Range", cmd_range, help="print a record index range")
     sp.add_argument("--graph", "-g", required=True)
     sp.add_argument("--start", "-s", type=int, default=0)
@@ -678,5 +756,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    args.fn(args)
+    try:
+        args.fn(args)
+    except BrokenPipeError:
+        # output piped into head/less and closed early — not an error
+        import os
+        try:
+            sys.stdout.close()
+        except Exception:
+            pass
+        os._exit(0)
     return 0
