@@ -216,6 +216,66 @@ def cmd_thread(args):
     lkio.write_links(args.out, links)
 
 
+def cmd_compile_feature_table(args):
+    from . import more
+    from ..io import fasta as faio
+    g = gr.CortexGraph.load(args.graph)
+    rois = gr.CortexGraph.load(args.rois)
+    features = {}
+    for spec in (args.feature or []):
+        name, path = spec.split(":", 1)
+        features[name] = gr.CortexGraph.load(path)
+    contigs = faio.read_fasta_full_headers(args.contigs)
+    truth = gr.CortexGraph.load(args.roisTruth)
+    rows = more.compile_feature_table(g, rois, features, contigs, truth)
+    with _out_stream(args.out) as f:
+        if rows:
+            cols = list(rows[0].keys())
+            f.write("\t".join(cols) + "\n")
+            for row in rows:
+                f.write("\t".join(row.get(c, "") for c in cols) + "\n")
+
+
+def cmd_evaluate_rois(args):
+    from . import more
+    from ..io import table as tblio
+    rois = gr.CortexGraph.load(args.rois)
+    rows = list(tblio.TableReader(args.kmerTable))
+    stats = more.evaluate_rois(rois, rows)
+    with _out_stream(args.out) as f:
+        for key, v in stats.items():
+            f.write(f"{key}\t{v}\n")
+
+
+def cmd_inheritance_to_matrix(args):
+    from . import more
+    from ..io import table as tblio
+    rows = list(tblio.TableReader(args.table))
+    mat = more.inheritance_to_matrix(rows, args.child)
+    with _out_stream(args.out) as f:
+        for r in mat:
+            f.write("\t".join(r) + "\n")
+
+
+def cmd_inheritance_to_circos(args):
+    from . import more
+    from ..io import table as tblio
+    rows = list(tblio.TableReader(args.table))
+    tracks = more.inheritance_to_circos_tracks(rows, args.child)
+    for child, lines in tracks.items():
+        with open(f"{args.outPrefix}.{child}.track", "w") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+
+
+def cmd_vcf_to_inheritance_track(args):
+    from . import more
+    from .. import evaluation as ev
+    rows = ev.read_vcf(args.vcf)
+    with _out_stream(args.out) as f:
+        for line in more.vcf_to_inheritance_track(rows):
+            f.write(line + "\n")
+
+
 def cmd_index_bam(args):
     from .. import kmer_index as ki
     ki.index_bam(args.bam, args.kmerSize)
@@ -601,6 +661,38 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--reads", "-1", action="append", required=True)
     sp.add_argument("--sample", "-s")
     sp.add_argument("--out", "-o", required=True)
+
+    sp = add("CompileFeatureTable", cmd_compile_feature_table,
+             help="per-novel-kmer feature table for FDR modelling")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--rois", "-r", required=True)
+    sp.add_argument("--feature", "-f", action="append", help="name:ctx pairs")
+    sp.add_argument("--contigs", "-c", required=True)
+    sp.add_argument("--roisTruth", "-rt", required=True)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("EvaluateROIs", cmd_evaluate_rois,
+             help="found-vs-simulated novel kmer concordance")
+    sp.add_argument("--rois", "-r", required=True)
+    sp.add_argument("--kmerTable", "-k", required=True)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("InheritanceToMatrix", cmd_inheritance_to_matrix,
+             help="inheritance table -> site x child matrix")
+    sp.add_argument("--table", "-t", required=True)
+    sp.add_argument("--child", "-c", action="append", required=True)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("InheritanceToCircosTracks", cmd_inheritance_to_circos,
+             help="inheritance table -> per-child circos tracks")
+    sp.add_argument("--table", "-t", required=True)
+    sp.add_argument("--child", "-c", action="append", required=True)
+    sp.add_argument("--outPrefix", "-o", required=True)
+
+    sp = add("VCFToInheritanceTrack", cmd_vcf_to_inheritance_track,
+             help="VCF -> inheritance track lines")
+    sp.add_argument("--vcf", "-v", required=True)
+    sp.add_argument("--out", "-o", default="-")
 
     sp = add("IndexBam", cmd_index_bam, help="build a kmer->read index for a BAM")
     sp.add_argument("--bam", "-b", required=True)
