@@ -216,6 +216,38 @@ def cmd_thread(args):
     lkio.write_links(args.out, links)
 
 
+def cmd_annotate_calls(args):
+    from . import more
+    from .. import evaluation as ev
+    from ..caller.variants import Variant, write_vcf
+    from ..io import fasta as faio
+    from ..io import gff as gffio
+
+    rows = ev.read_vcf(args.vcf)
+    bed = []
+    if args.accessory:
+        with open(args.accessory) as f:
+            for line in f:
+                p = line.split("\t")
+                if len(p) >= 3:
+                    bed.append((p[0], int(p[1]) + 1, int(p[2])))
+    genes = gffio.GFF3()
+    for p in (args.genes or []):
+        genes.records.extend(gffio.GFF3(p).records)
+    repeats = gffio.GFF3()
+    for p in (args.repeatmasks or []):
+        repeats.records.extend(gffio.GFF3(p).records)
+    partitions = faio.read_fasta_full_headers(args.partitions)
+    rois = gr.CortexGraph.load(args.rois)
+    annotated = more.annotate_calls(rows, bed, genes, repeats, partitions, rois)
+    variants = [Variant(chrom=r["chrom"], start=r["pos"],
+                        alleles=[r["ref"], r["alt"]], id_=r["id"],
+                        attributes=r["info"]).compute_end_from_alleles()
+                for r in annotated]
+    contigs = sorted({r["chrom"] for r in annotated})
+    write_vcf(args.out, variants, [(c, 0) for c in contigs])
+
+
 def cmd_compile_feature_table(args):
     from . import more
     from ..io import fasta as faio
@@ -660,6 +692,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--graph", "-g", required=True)
     sp.add_argument("--reads", "-1", action="append", required=True)
     sp.add_argument("--sample", "-s")
+    sp.add_argument("--out", "-o", required=True)
+
+    sp = add("AnnotateCalls", cmd_annotate_calls,
+             help="annotate calls with regions/genes/repeats/partition stats")
+    sp.add_argument("--vcf", "-v", required=True)
+    sp.add_argument("--accessory", "-a", help="BED of accessory regions")
+    sp.add_argument("--genes", "-gff", action="append")
+    sp.add_argument("--repeatmasks", "-rm", action="append")
+    sp.add_argument("--partitions", "-p", required=True)
+    sp.add_argument("--rois", "-r", required=True)
     sp.add_argument("--out", "-o", required=True)
 
     sp = add("CompileFeatureTable", cmd_compile_feature_table,

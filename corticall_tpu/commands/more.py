@@ -169,6 +169,64 @@ def inheritance_to_circos_tracks(rows: list, children: list) -> dict:
     return tracks
 
 
+def annotate_calls(vcf_rows: list, accessory_bed: list, genes, repeats,
+                   partitions: list, rois: gr.CortexGraph) -> list:
+    """Post-hoc call annotation (discover/call/AnnotateCalls.java): label
+    core/accessory, overlapping + closest genes, repeat overlap, partition
+    length and novel-kmer count.  Returns annotated VCF rows (info updated).
+
+    accessory_bed: [(chrom, start, end)] 1-based; genes/repeats: GFF3 objects.
+    """
+    k = rois.kmer_size
+    roiset = {rois.kmer_string(i) for i in range(rois.num_records)}
+    part_seqs = {h.split(" ")[0]: s for h, s in partitions}
+
+    gene_records = [r for r in genes if "gene" in r.type] if genes else []
+    repeat_records = list(repeats) if repeats else []
+
+    out = []
+    for v in vcf_rows:
+        chrom, start = v["chrom"], v["pos"]
+        end = start + len(v["ref"]) - 1
+        info = dict(v["info"])
+
+        label = "core"
+        for bc, bs, be in accessory_bed:
+            if bc == chrom and bs <= end and be >= start:
+                label = "accessory"
+                break
+        info["REGION"] = label
+
+        overlapping = sorted(r.get_attribute("ID", "") for r in gene_records
+                             if r.seqid == chrom and r.start <= end and r.end >= start)
+        if overlapping:
+            info["GENES"] = ",".join(x for x in overlapping if x)
+
+        nearby = [r for r in gene_records
+                  if r.seqid == chrom and r.start <= end + 100000
+                  and r.end >= start - 100000]
+        if nearby:
+            nearest = min(nearby, key=lambda r: abs(r.start - start))
+            info["CLOSEST_GENE"] = nearest.get_attribute("ID", "")
+
+        reps = [r.get_attribute("ID", "") for r in repeat_records
+                if r.seqid == chrom and r.start <= end and r.end >= start]
+        info["REPEAT"] = reps[0] if reps else "NA"
+
+        pname = info.get("PARTITION_NAME", "")
+        if pname in part_seqs:
+            seq = part_seqs[pname]
+            info["PARTITION_LENGTH"] = len(seq)
+            info["PARTITION_NOVELS"] = sum(
+                1 for i in range(len(seq) - k + 1)
+                if min(seq[i:i + k], km.revcomp(seq[i:i + k])) in roiset)
+
+        nv = dict(v)
+        nv["info"] = info
+        out.append(nv)
+    return out
+
+
 def vcf_to_inheritance_track(vcf_rows: list, attribute: str = "BACKGROUND") -> list:
     """VCF -> 'chrom pos parent' inheritance track (VCFToInheritanceTrack.java)."""
     return [f"{v['chrom']} {v['pos']} {v['info'].get(attribute, 'unknown')}"

@@ -101,8 +101,37 @@ def gen_tandem_dup(seq, pos, rng, length):
     return "TD", pos, old, old + old
 
 
+def gen_nahr(seq, pos, rng, length, donor=None):
+    """Non-allelic homologous recombination: splice a mosaic of the local
+    region and a donor region (makeNAHR, SimulateHaploidChild.java:545-620).
+    Produces an NAHR-INS style allele: the region is replaced by an
+    alternating recombinant of itself and the donor."""
+    span = max(length * 40, 500)
+    if pos + span > len(seq) - 150:
+        span = max(200, len(seq) - 150 - pos)
+    region = seq[pos:pos + span]
+    if donor is None:
+        # pick a distant window as the homologous donor
+        dstart = int(rng.integers(150, max(151, len(seq) - span - 150)))
+        donor = seq[dstart:dstart + span]
+    n_rec = int(rng.integers(2, 6))
+    points = sorted(int(x) for x in rng.integers(50, max(51, span - 50), n_rec))
+    pieces = []
+    cur = 0
+    prev = 0
+    for p in points + [span]:
+        src = region if cur == 0 else donor
+        pieces.append(src[prev:min(p, len(src))])
+        cur ^= 1
+        prev = p
+    alt = "".join(pieces)
+    if alt.upper() == region.upper():
+        return gen_snv(seq, pos, rng, 1)
+    return "NAHR-INS", pos, region, alt
+
+
 GENERATORS = [gen_ins, gen_str_exp, gen_tandem_dup, gen_del, gen_str_con,
-              gen_mnp, gen_inv, gen_snv]
+              gen_mnp, gen_inv, gen_nahr, gen_snv]
 
 
 # ---------------------------------------------------------------------------

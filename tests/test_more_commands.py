@@ -133,3 +133,39 @@ def test_section_timer():
         pass
     rep = t.report()
     assert "a:" in rep and "peak memory" in rep
+
+
+def test_annotate_calls():
+    from corticall_tpu.io import gff as gffio
+    rng = np.random.default_rng(121)
+    g, rois, child = _trio(rng)
+    parts = core.partition(g, rois)
+    rows = [{"chrom": "chr1", "pos": 450, "ref": "A", "alt": "T", "id": ".",
+             "filter": "PASS", "info": {"PARTITION_NAME": parts[0][0].split(" ")[0]}}]
+    genes = gffio.GFF3(records=[
+        gffio.GFF3Record("chr1", "s", "gene", 400, 500, ".", "+", ".", {"ID": "gene1"}),
+        gffio.GFF3Record("chr1", "s", "gene", 5000, 6000, ".", "+", ".", {"ID": "far"}),
+    ])
+    repeats = gffio.GFF3(records=[
+        gffio.GFF3Record("chr1", "s", "repeat", 440, 460, ".", "+", ".", {"ID": "rep7"}),
+    ])
+    bed = [("chr1", 430, 470)]
+    out = more.annotate_calls(rows, bed, genes, repeats, parts, rois)
+    info = out[0]["info"]
+    assert info["REGION"] == "accessory"
+    assert info["GENES"] == "gene1"
+    assert info["CLOSEST_GENE"] == "gene1"
+    assert info["REPEAT"] == "rep7"
+    assert info["PARTITION_LENGTH"] > 0
+    assert info["PARTITION_NOVELS"] > 0
+
+
+def test_nahr_generator():
+    rng = np.random.default_rng(122)
+    seq = _genome(rng, 3000)
+    t, pos, old, new = sim.gen_nahr(seq, 800, rng, 20)
+    if t == "NAHR-INS":
+        assert old == seq[pos:pos + len(old)]
+        assert new != old
+        # the recombinant alternates region/donor: shares a prefix with region
+        assert new[:30] == old[:30]
