@@ -66,20 +66,19 @@ def main():
     import jax
     import jax.numpy as jnp
     from corticall_tpu import kmer as km
-    from corticall_tpu.ops import hashtable as ht
-    from corticall_tpu.ops import walk as wk
+    from corticall_tpu.ops import cuckoo as ck
 
     k = int(os.environ.get("BENCH_K", "47"))
     n_bases = int(os.environ.get("BENCH_BASES", "2000000"))
-    b = int(os.environ.get("BENCH_WALKS", "65536"))
+    b = int(os.environ.get("BENCH_WALKS", "262144"))
     t = int(os.environ.get("BENCH_STEPS", "256"))
-    ppr = int(os.environ.get("BENCH_PROBES_PER_ROUND", "8"))
 
     g, genome = build_bench_graph(k, n_bases)
-    # low load factor shortens the probe tail — gather rounds dominate step
-    # latency on TPU, so a bigger (but still small: M*(W+1)*4B) table wins
-    table = ht.build(g.kmers, load_factor=0.25)
-    walk_entries = jnp.asarray(table.build_walk_entries(g.kmers, g.edges[:, 0]))
+    # bucketized two-choice table: every lookup is ONE stacked gather of the
+    # key's two candidate buckets — no probe loop, no data-dependent rounds
+    # (ops/cuckoo.py); B=256k saturates the latency-bound gather pipeline
+    ct = ck.build_cuckoo(g.kmers, g.edges[:, 0])
+    buckets = jnp.asarray(ct.buckets)
 
     rng = np.random.default_rng(11)
     starts = rng.integers(0, len(genome) - k, size=b)
@@ -87,15 +86,14 @@ def main():
     seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(seed_strs), k))
 
     # warmup / compile
-    out = wk.walk_forward_fused(walk_entries, seeds, k, table.max_probe, t, ppr)
+    out = ck.walk_forward_cuckoo(buckets, seeds, k, t)
     jax.block_until_ready(out)
 
     n_iters = 5
     t0 = time.perf_counter()
     total_emitted = 0
     for _ in range(n_iters):
-        bases, cycled, steps = wk.walk_forward_fused(walk_entries, seeds, k,
-                                                     table.max_probe, t, ppr)
+        bases, cycled, steps = ck.walk_forward_cuckoo(buckets, seeds, k, t)
         total_emitted += int(jax.block_until_ready(steps).sum())
     dt = time.perf_counter() - t0
     device_sps = total_emitted / dt

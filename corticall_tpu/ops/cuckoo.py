@@ -1,0 +1,191 @@
+"""Bucketized two-choice (cuckoo) k-mer hash table for the walk hot loop.
+
+The linear-probing table (`ops/hashtable.py`) resolves a query in ~1 probe at
+load 0.25 but still needs a `while_loop` over probe rounds plus an
+all-resolved reduction per round; on TPU each round is a dependent HBM gather.
+This table removes the loop entirely: every key lives in one of TWO candidate
+buckets of BUCKET_SIZE entries, so a lookup is ONE gather (both bucket rows,
+stacked) followed by pure vector compares — a fixed two-row read per query,
+no data-dependent control flow.  Build-time eviction (classic bucketized
+cuckoo hashing) guarantees placement; at load 0.5 with bucket size 4 the
+batched greedy pass places >99.9% of keys and the serial eviction walk
+handles the rest.
+
+Replaces the same reference hot loop as hashtable.py: the per-kmer binary
+search over the sorted record section (CortexGraph.java:272-317) driven by
+TraversalEngine.java:241-279.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import kmer_jax as kj
+from .hashtable import np_hash_words, _np_mix32
+
+BUCKET_SIZE = 4
+_GOLDEN = 0x9E3779B9
+
+
+def _np_h2(h: np.ndarray) -> np.ndarray:
+    return _np_mix32(h ^ np.uint32(_GOLDEN))
+
+
+def _jnp_h2(h: jnp.ndarray) -> jnp.ndarray:
+    return kj.mix32(h ^ jnp.uint32(_GOLDEN))
+
+
+@dataclass
+class CuckooTable:
+    """buckets: uint32[NB, BUCKET_SIZE*(W+1)] — each row holds BUCKET_SIZE
+    interleaved (key words..., tag) entries; tag = 0x80000000 | payload for
+    occupied entries, 0 for empty."""
+    buckets: np.ndarray
+    nb_bits: int
+    words: int
+
+    @property
+    def num_buckets(self) -> int:
+        return self.buckets.shape[0]
+
+
+def build_cuckoo(kmers: np.ndarray, payload: np.ndarray,
+                 load_factor: float = 0.5) -> CuckooTable:
+    """kmers: uint32[N, W] unique canonical kmers; payload: uint[N] (< 2^31),
+    e.g. the combined edge byte for walk tables."""
+    n, w = kmers.shape
+    nb = 4
+    while nb * BUCKET_SIZE * load_factor < max(n, 1):
+        nb *= 2
+    mask = np.uint32(nb - 1)
+
+    h = np_hash_words(kmers)
+    h1 = (h & mask).astype(np.int64)
+    h2 = (_np_h2(h) & mask).astype(np.int64)
+
+    counts = np.zeros(nb, dtype=np.int32)
+    bucket_of = np.full(n, -1, dtype=np.int64)
+    pos_of = np.full(n, -1, dtype=np.int32)
+
+    pending = np.arange(n, dtype=np.int64)
+    while pending.size:
+        c1 = counts[h1[pending]]
+        c2 = counts[h2[pending]]
+        t = np.where(c2 < c1, h2[pending], h1[pending])
+        cap = BUCKET_SIZE - counts[t]
+        # rank pending keys within each proposed bucket; first `cap` win
+        order = np.argsort(t, kind="stable")
+        ts = t[order]
+        first = np.ones(len(ts), dtype=bool)
+        first[1:] = ts[1:] != ts[:-1]
+        grp_start = np.maximum.accumulate(np.where(first, np.arange(len(ts)), 0))
+        rank = np.arange(len(ts)) - grp_start
+        win_sorted = rank < cap[order]
+        winner = np.zeros(len(t), dtype=bool)
+        winner[order] = win_sorted
+        if not winner.any():
+            break  # both buckets full for every pending key -> evictions
+        wk_keys = pending[winner]
+        wt = t[winner]
+        wr = np.zeros(len(t), dtype=np.int64)
+        wr[order] = rank
+        bucket_of[wk_keys] = wt
+        pos_of[wk_keys] = (counts[wt] + wr[winner]).astype(np.int32)
+        np.add.at(counts, wt, 1)
+        pending = pending[~winner]
+
+    # serial eviction walk for the stragglers (load 0.5 -> a handful at most)
+    if pending.size:
+        slots = [[] for _ in range(nb)]  # bucket -> list of key indices
+        placed = bucket_of >= 0
+        for ki in np.nonzero(placed)[0]:
+            slots[bucket_of[ki]].append(int(ki))
+        rng = np.random.default_rng(0)
+        for ki in pending:
+            key = int(ki)
+            b = int(h1[key])
+            for _ in range(10000):
+                if len(slots[b]) < BUCKET_SIZE:
+                    slots[b].append(key)
+                    bucket_of[key] = b
+                    break
+                victim_pos = int(rng.integers(0, BUCKET_SIZE))
+                victim = slots[b][victim_pos]
+                slots[b][victim_pos] = key
+                bucket_of[key] = b
+                key = victim
+                b = int(h2[key]) if int(h1[key]) == b else int(h1[key])
+            else:
+                raise RuntimeError("cuckoo build failed; lower load_factor")
+        for b, keys in enumerate(slots):
+            for p, key in enumerate(keys):
+                bucket_of[key] = b
+                pos_of[key] = p
+
+    buckets = np.zeros((nb, BUCKET_SIZE * (w + 1)), dtype=np.uint32)
+    col = pos_of * (w + 1)
+    rows = bucket_of
+    for wi in range(w):
+        buckets[rows, col + wi] = kmers[:, wi]
+    buckets[rows, col + w] = np.uint32(0x80000000) | payload.astype(np.uint32)
+    return CuckooTable(buckets=buckets, nb_bits=int(nb).bit_length() - 1, words=w)
+
+
+def lookup_payload(buckets: jnp.ndarray, canon: jnp.ndarray, w: int) -> jnp.ndarray:
+    """One-gather lookup: canon uint32[B, W] canonical kmers -> uint32[B]
+    payload (0 = miss).  Fixed cost: a single [2B]-row gather + compares."""
+    nb = buckets.shape[0]
+    mask = jnp.uint32(nb - 1)
+    h = kj.hash_words(canon)
+    idx = jnp.concatenate([h & mask, _jnp_h2(h) & mask]).astype(jnp.int32)
+    rows = buckets[idx]                                   # [2B, BS*(W+1)]
+    rows = rows.reshape(2, canon.shape[0], BUCKET_SIZE, w + 1)
+    tag = rows[..., w]                                    # [2, B, BS]
+    match = (tag >= jnp.uint32(0x80000000)) & jnp.all(
+        rows[..., :w] == canon[None, :, None, :], axis=-1)
+    return jnp.max(jnp.where(match, tag & jnp.uint32(0x7FFFFFFF), 0),
+                   axis=(0, 2))
+
+
+@partial(jax.jit, static_argnames=("k", "num_steps"))
+def walk_forward_cuckoo(buckets, seeds, k: int, num_steps: int):
+    """walk.walk_forward_fused with the cuckoo one-gather lookup: same
+    emitted bases / Brent cycle flags / step counts, no probe loop at all."""
+    w = seeds.shape[1]
+
+    def step(state, _):
+        cur, active, saved, power, lam = state
+        canon, flipped = kj.canonicalize_words(cur, k)
+        e = lookup_payload(buckets, canon, w)
+        next_mask = jnp.where(flipped, e >> 4, e & 0xF).astype(jnp.uint32)
+        n = kj.popcount4(next_mask)
+        base = kj.lowest_set_base(next_mask)
+        nxt = kj.shift_append(cur, base.astype(jnp.uint32), k)
+
+        single = n == 1
+        is_cycle = jnp.all(nxt == saved, axis=-1) & single & active
+        advance = active & single & ~is_cycle
+        emitted = jnp.where(advance, base, -1).astype(jnp.int8)
+
+        teleport = (power == lam) & advance
+        saved = jnp.where(teleport[:, None], nxt, saved)
+        power = jnp.where(teleport, power * 2, power)
+        lam = jnp.where(teleport, 0, lam)
+        lam = jnp.where(advance, lam + 1, lam)
+
+        cur = jnp.where(advance[:, None], nxt, cur)
+        return (cur, advance, saved, power, lam), (emitted, is_cycle)
+
+    b = seeds.shape[0]
+    init = (seeds, jnp.ones(b, dtype=bool), seeds,
+            jnp.ones(b, dtype=jnp.int32), jnp.zeros(b, dtype=jnp.int32))
+    (_, active, *_), (bases, cycles) = jax.lax.scan(step, init, None,
+                                                    length=num_steps)
+    cycled = jnp.any(cycles, axis=0)
+    steps = (bases >= 0).sum(axis=0).astype(jnp.int32)
+    return bases, cycled, steps
