@@ -8,7 +8,7 @@ random access replaced by vectorized gather lookups").
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import jax.numpy as jnp
@@ -27,6 +27,7 @@ class DeviceGraph:
     slots: jnp.ndarray      # int32[M] hash slots -> record index
     max_probe: int
     sample_names: tuple = ()
+    _walk_tables: dict = field(default_factory=dict, repr=False, compare=False)
 
     @property
     def num_records(self) -> int:
@@ -72,3 +73,16 @@ class DeviceGraph:
     def combined_coverage(self, colors) -> jnp.ndarray:
         """uint32[N] total coverage over a color set."""
         return self.coverages[:, list(colors)].sum(axis=1, dtype=jnp.uint32)
+
+    def walk_buckets(self, colors) -> jnp.ndarray:
+        """Cuckoo walk table for a traversal color set, cached per color set:
+        uint32[NB, 4*(W+1)] bucket rows with the combined edge byte fused into
+        each entry's tag (ops/cuckoo.py) — the one-gather-per-step fast path
+        for batched walks."""
+        key = tuple(colors)
+        if key not in self._walk_tables:
+            from .ops import cuckoo as ck
+            edges = np.asarray(self.combined_edges(key))
+            ct = ck.build_cuckoo(np.asarray(self.kmers), edges)
+            self._walk_tables[key] = jnp.asarray(ct.buckets)
+        return self._walk_tables[key]

@@ -199,17 +199,18 @@ def replay_walk(seed: str, bases: np.ndarray, cycled: bool,
 def assemble_batch(dg, colors, seeds: list[str], num_steps: int = 1024) -> list[str]:
     """Bidirectional contig per seed (ContigStopper semantics, no links):
     the device analog of TraversalEngine.assemble (TraversalEngine.java:112-145).
+    Uses the cuckoo one-gather walk table (ops/cuckoo.py), the fastest lookup
+    backend; emitted walks are bit-identical to walk_forward/_fused.
     """
+    from . import cuckoo as ck
     k = dg.kmer_size
-    edges_combined = dg.combined_edges(colors)
+    buckets = dg.walk_buckets(colors)
     fwd_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(seeds), k))
     rc_strings = [km.revcomp(s) for s in seeds]
     rev_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(rc_strings), k))
 
-    fb, fc, _ = walk_forward(dg.slots, dg.kmers, edges_combined, fwd_seeds,
-                             k, dg.max_probe, num_steps)
-    rb, rc_, _ = walk_forward(dg.slots, dg.kmers, edges_combined, rev_seeds,
-                              k, dg.max_probe, num_steps)
+    fb, fc, _ = ck.walk_forward_cuckoo(buckets, fwd_seeds, k, num_steps)
+    rb, rc_, _ = ck.walk_forward_cuckoo(buckets, rev_seeds, k, num_steps)
     fb = np.asarray(fb).T  # [B, T]
     rb = np.asarray(rb).T
     fc = np.asarray(fc)

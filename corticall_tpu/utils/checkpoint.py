@@ -45,12 +45,8 @@ def resume_walks(dg, colors, state: dict, num_steps: int):
     """Continue interrupted walks from a saved frontier.  Returns (bases
     [T, B] continuing the saved stream, cycled, steps)."""
     import jax.numpy as jnp
-    from ..ops import hashtable as ht
-    from ..ops import walk as wk
+    from ..ops import cuckoo as ck
 
-    table = ht.build(np.asarray(dg.kmers))
-    entries = jnp.asarray(table.build_walk_entries(
-        np.asarray(dg.kmers), np.asarray(dg.combined_edges(colors))))
+    buckets = dg.walk_buckets(colors)
     seeds = jnp.asarray(state["cur"])
-    return wk.walk_forward_fused(entries, seeds, dg.kmer_size,
-                                 table.max_probe, num_steps)
+    return ck.walk_forward_cuckoo(buckets, seeds, dg.kmer_size, num_steps)
