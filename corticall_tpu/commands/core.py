@@ -341,9 +341,95 @@ def find_contamination(graph: gr.CortexGraph, roi: gr.CortexGraph, parents: list
 # ---------------------------------------------------------------------------
 
 def partition(graph: gr.CortexGraph, roi: gr.CortexGraph, links=(),
-              link_novels: bool = False) -> list:
+              link_novels: bool = False, max_walk: int = 20000) -> list:
     """Group novel kmers into partition contigs.  Returns
-    [(name_header, contig_sequence), ...] in the reference's emit order."""
+    [(name_header, contig_sequence), ...] in the reference's emit order.
+
+    Without links the walk is deterministic per kmer, so all ROI walks run as
+    ONE batched device kernel (ops/cuckoo.py) instead of the reference's
+    per-kmer host DFS (Partition.java:258-265) — this is what makes Partition
+    tractable at Pf scale on a chip.  Contigs are capped at max_walk steps per
+    direction (40 kb+ total), far beyond any DNM partition's useful context;
+    the reference leaves them unbounded and trims later (TrimPartitions).
+    With links (NovelPartitionStopper) the exact host engine is used.
+    """
+    if links or link_novels:
+        return _partition_host(graph, roi, links, link_novels)
+    return _partition_device(graph, roi, max_walk)
+
+
+def _partition_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
+                      max_walk: int) -> list:
+    import jax.numpy as jnp
+    from ..ops import cuckoo as cko
+    from ..ops import walk as wk
+
+    k = graph.kmer_size
+    cks = sorted(roi.kmer_string(i) for i in range(roi.num_records))
+    if not cks:
+        return []
+    child_color = graph.color_for_sample(roi.sample_name(0))
+    ct = cko.build_cuckoo(graph.kmers, graph.edges[:, child_color])
+    buckets = jnp.asarray(ct.buckets)
+
+    rc = [km.revcomp(s) for s in cks]
+    contigs: dict = {}
+    chunk = 65536
+    for lo in range(0, len(cks), chunk):
+        f_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(cks[lo:lo + chunk]), k))
+        r_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(rc[lo:lo + chunk]), k))
+        fb, fc, _ = cko.walk_forward_cuckoo(buckets, f_seeds, k, max_walk)
+        rb, rcy, _ = cko.walk_forward_cuckoo(buckets, r_seeds, k, max_walk)
+        fb, rb = np.asarray(fb).T, np.asarray(rb).T
+        fc, rcy = np.asarray(fc), np.asarray(rcy)
+        for i in range(fb.shape[0]):
+            s = cks[lo + i]
+            fwd_ext = wk.replay_walk(s, fb[i], bool(fc[i]), max_walk)
+            back_ext = wk.replay_walk(rc[lo + i], rb[i], bool(rcy[i]), max_walk)
+            contigs[s] = (km.revcomp(back_ext) if back_ext else "") + s + fwd_ext
+
+    roi_keys = np.sort(km.words_to_bytes_be(roi.kmers, k))
+
+    def novel_in(contig: str) -> list:
+        codes = km.string_to_codes_permissive(contig)
+        if len(codes) < k:
+            return []
+        windows = km.kmerize_codes(codes, k)
+        ok = (windows < 4).all(axis=1)
+        if not ok.any():
+            return []
+        canon, _ = km.canonicalize_codes(windows[ok])
+        keys = km.words_to_bytes_be(km.pack_codes(canon, k), k)
+        i = np.minimum(np.searchsorted(roi_keys, keys), roi_keys.size - 1)
+        hit = roi_keys[i] == keys
+        return km.codes_to_strings(canon[hit])
+
+    used: dict = {s: None for s in cks}
+    for s in cks:
+        if used[s] is not None:
+            continue
+        contig = contigs[s]
+        for canon in novel_in(contig):
+            if canon in used and (used[canon] is None
+                                  or len(contig) > len(used[canon])):
+                used[canon] = contig
+
+    contig_set: set = set()
+    for s in cks:
+        c = used[s]
+        if c is not None and c not in contig_set and km.revcomp(c) not in contig_set:
+            contig_set.add(c)
+
+    out = []
+    for i, contig in enumerate(sorted(contig_set)):
+        num_novels = len(novel_in(contig))
+        header = f"partition{i} len={len(contig) - k + 1} numNovels={num_novels}"
+        out.append((header, contig))
+    return out
+
+
+def _partition_host(graph: gr.CortexGraph, roi: gr.CortexGraph, links,
+                    link_novels: bool) -> list:
     child_color = graph.color_for_sample(roi.sample_name(0))
 
     e = TraversalEngine(TraversalConfig(

@@ -140,16 +140,30 @@ class CortexGraph:
         CortexGraph.findRecord (binary search, CortexGraph.java:272-317) —
         here a numpy searchsorted over the raw big-endian key bytes.
         """
-        if isinstance(kmer, (str, bytes)):
-            codes = km.string_to_codes(kmer)
+        if isinstance(kmer, str):
+            # scalar fast path: canonical min == string min (code order is
+            # ASCII order), pure-int packing
+            if len(kmer) != self.kmer_size:
+                raise ValueError(
+                    f"kmer length {len(kmer)} != graph kmer size {self.kmer_size}")
+            kmer = kmer.upper()
+            rc = km.revcomp(kmer)
+            canon_s = kmer if kmer <= rc else rc
+            try:
+                key = km.kmer_key_bytes(canon_s, self.kmer_size)
+            except KeyError:
+                raise ValueError(f"invalid nucleotide in {kmer!r}")
         else:
-            codes = np.asarray(kmer, dtype=np.uint8)
-        if codes.shape[-1] != self.kmer_size:
-            raise ValueError(
-                f"kmer length {codes.shape[-1]} != graph kmer size {self.kmer_size}"
-            )
-        canon, _ = km.canonicalize_codes(codes)
-        key = km.words_to_bytes_be(km.pack_codes(canon), self.kmer_size)
+            if isinstance(kmer, bytes):
+                codes = km.string_to_codes(kmer)
+            else:
+                codes = np.asarray(kmer, dtype=np.uint8)
+            if codes.shape[-1] != self.kmer_size:
+                raise ValueError(
+                    f"kmer length {codes.shape[-1]} != graph kmer size {self.kmer_size}"
+                )
+            canon, _ = km.canonicalize_codes(codes)
+            key = km.words_to_bytes_be(km.pack_codes(canon), self.kmer_size)
         i = int(np.searchsorted(self.data.kmer_bytes, key))
         if i < self.num_records and self.data.kmer_bytes[i] == key:
             return i
@@ -166,7 +180,7 @@ class CortexGraph:
         return np.where(hit, idx, -1)
 
     def kmer_string(self, i: int) -> str:
-        return km.codes_to_string(km.unpack_words(self.data.kmers[i], self.kmer_size))
+        return km.words_row_to_string(self.data.kmers[i], self.kmer_size)
 
     def record_string(self, i: int, colors=None) -> str:
         """The reference's record display format: 'KMER cov.. edges..'

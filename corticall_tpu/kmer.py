@@ -176,6 +176,35 @@ def words_to_bytes_be(words: np.ndarray, k: int) -> np.ndarray:
     return be.view(f"|S{8 * s}").reshape(n)[0] if single else be.view(f"|S{8 * s}").reshape(n)
 
 
+_CODE_INT = {"A": 0, "C": 1, "G": 2, "T": 3}
+_ORD_OF_CODE = [ord("A"), ord("C"), ord("G"), ord("T")]
+
+
+def kmer_key_bytes(s: str, k: int) -> bytes:
+    """Scalar fast path: kmer string -> the words_to_bytes_be key, via pure
+    Python int packing (~40x faster than the numpy path for one kmer — the
+    per-call array overhead dominates single-record lookups in host walks).
+    Raises KeyError on non-ACGT."""
+    v = 0
+    for ch in s:
+        v = (v << 2) | _CODE_INT[ch]
+    # numpy S-dtype values drop trailing NULs; strip to compare equal with
+    # elements of a words_to_bytes_be array (ordering is unaffected)
+    return v.to_bytes(8 * containers_per_kmer(k), "big").rstrip(b"\x00")
+
+
+def words_row_to_string(row: np.ndarray, k: int) -> str:
+    """Scalar fast path: one uint32[W] packed kmer -> string."""
+    v = 0
+    for x in row.tolist():
+        v = (v << 32) | x
+    out = bytearray(k)
+    for j in range(k - 1, -1, -1):
+        out[j] = _ORD_OF_CODE[v & 3]
+        v >>= 2
+    return out.decode()
+
+
 def bytes_be_to_words(raw: np.ndarray, k: int) -> np.ndarray:
     """|S(8*S)[N] (or uint8[N, 8*S]) big-endian containers -> uint32[N, W]."""
     s = containers_per_kmer(k)

@@ -165,6 +165,50 @@ def poisson_draw(rng, mu: float) -> int:
 
 
 # ---------------------------------------------------------------------------
+# vectorized canonical-kmer membership
+# ---------------------------------------------------------------------------
+
+def _valid_canonical_keys(seq: str, k: int):
+    """(sorted-order-comparable BE byte keys, window start positions) of all
+    N-free kmers of seq (uppercased)."""
+    s = seq.upper()
+    if len(s) < k:
+        return None, None
+    codes = km.string_to_codes_permissive(s)
+    windows = km.kmerize_codes(codes, k)
+    ok = (windows >= 0).all(axis=1) & (windows < 4).all(axis=1)
+    if not ok.any():
+        return None, None
+    canon, _ = km.canonicalize_codes(windows[ok])
+    keys = km.words_to_bytes_be(km.pack_codes(canon, k), k)
+    return keys, np.nonzero(ok)[0]
+
+
+def _canonical_key_set(seqs, k: int) -> np.ndarray:
+    """Sorted unique canonical kmer keys over a list of sequences."""
+    parts = []
+    for seq in seqs:
+        keys, _ = _valid_canonical_keys(seq, k)
+        if keys is not None:
+            parts.append(keys)
+    if not parts:
+        return np.zeros(0, dtype="S1")
+    return np.unique(np.concatenate(parts))
+
+
+def _novel_positions(window: str, k: int, parental: np.ndarray) -> np.ndarray:
+    """Start positions in `window` of N-free kmers absent from `parental`."""
+    keys, pos = _valid_canonical_keys(window, k)
+    if keys is None:
+        return np.zeros(0, dtype=np.int64)
+    if parental.size == 0:
+        return pos
+    i = np.searchsorted(parental, keys)
+    i = np.minimum(i, parental.size - 1)
+    return pos[parental[i] != keys]
+
+
+# ---------------------------------------------------------------------------
 # the simulator
 # ---------------------------------------------------------------------------
 
@@ -197,15 +241,11 @@ def simulate_haploid_child(ref1: dict, ref2: dict, parents=("parent1", "parent2"
             })
             start += len(piece)
 
-    # parental kmer set for novelty detection
-    parental: set = set()
-    for ref in (ref1, ref2):
-        for seq in ref.values():
-            s = seq.upper()
-            for i in range(len(s) - k + 1):
-                sk = s[i:i + k]
-                if "N" not in sk:
-                    parental.add(min(sk, km.revcomp(sk)))
+    # parental kmer keys for novelty detection — vectorized (sorted canonical
+    # byte keys + searchsorted membership) so Pf-scale (20+ Mbp) simulation
+    # stays seconds, not minutes
+    parental = _canonical_key_set(
+        [s for ref in (ref1, ref2) for s in ref.values()], k)
 
     # inject variants (descending position per chromosome to keep indices valid)
     chroms = ["".join(p) for p, _ in child_seqs]
@@ -269,11 +309,9 @@ def simulate_haploid_child(ref1: dict, ref2: dict, parents=("parent1", "parent2"
         # novel kmers around the variant
         lo = max(0, pos - 100)
         hi = min(len(chroms[ci]) - k, pos + len(new) + 100 - k)
-        seen = []
-        for p in range(lo, hi + 1):
-            sk = chroms[ci][p:p + k].upper()
-            if "N" not in sk and min(sk, km.revcomp(sk)) not in parental:
-                seen.append(sk)
+        window = chroms[ci][lo:hi + k].upper()
+        novel_at = _novel_positions(window, k, parental)
+        seen = [window[p:p + k] for p in novel_at]
         for nki, nk in enumerate(seen):
             kmer_rows.append({
                 "index": idx, "numNovel": len(seen), "kmerIndex": nki,

@@ -1,0 +1,138 @@
+"""Pf-scale cross demo: DNM-calling wall-clock on a P. falciparum-scale trio.
+
+BASELINE.md's measurement plan calls for simulated Pf-scale graphs (k=47,
+~21 Mbp core genome, trio colors) timed through FindROIs / Partition / Call —
+the reference's production path (Simulate.wdl:1209-1430: the Call task is
+provisioned 8 GiB / 2 cores per sample on GCP).  This demo runs that exact
+pipeline end to end on one host + one TPU chip:
+
+  simulate cross (recombinant child + injected DNMs)
+  -> build trio graph (k=47, 3 colors)
+  -> FindROIs -> Partition -> Call -> evaluate vs simulation truth
+
+and prints per-stage wall-clock plus truth recall as JSON.
+
+Env knobs: PF_MBP (total genome Mbp, default 21), PF_CHROMS (default 14),
+PF_DNMS (default 40), PF_K (default 47), PF_DIVERGENCE (parental SNP rate,
+default 0.003).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def make_cross(rng, mbp: float, n_chroms: int, divergence: float):
+    """Two parental references: dad = mom with SNP divergence (vectorized)."""
+    total = int(mbp * 1e6)
+    sizes = np.full(n_chroms, total // n_chroms)
+    mom, dad = {}, {}
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for i, n in enumerate(sizes):
+        codes = rng.integers(0, 4, n, dtype=np.uint8)
+        mut = rng.random(n) < divergence
+        shift = rng.integers(1, 4, n, dtype=np.uint8)
+        dcodes = np.where(mut, (codes + shift) % 4, codes).astype(np.uint8)
+        mom[f"chr{i+1}"] = bases[codes].tobytes().decode()
+        dad[f"chr{i+1}"] = bases[dcodes].tobytes().decode()
+    return mom, dad
+
+
+def main():
+    from corticall_tpu import fixtures, simulate as sim
+    from corticall_tpu.commands import core, more
+    from corticall_tpu.caller.call import Caller
+    from corticall_tpu.models.reference_index import IndexedReference
+
+    mbp = float(os.environ.get("PF_MBP", "21"))
+    n_chroms = int(os.environ.get("PF_CHROMS", "14"))
+    n_dnms = int(os.environ.get("PF_DNMS", "40"))
+    k = int(os.environ.get("PF_K", "47"))
+    divergence = float(os.environ.get("PF_DIVERGENCE", "0.003"))
+
+    rng = np.random.default_rng(42)
+    stages = {}
+
+    t0 = time.perf_counter()
+    mom, dad = make_cross(rng, mbp, n_chroms, divergence)
+    res = sim.simulate_haploid_child(mom, dad, parents=("mom", "dad"),
+                                     mu=2.0, num_variants=n_dnms, k=k, seed=7)
+    stages["simulate_s"] = round(time.perf_counter() - t0, 2)
+    truth = res["truth_vcf"]
+
+    t0 = time.perf_counter()
+    g = fixtures.build_graph({
+        "kid": list(res["child"].values()),
+        "mom": list(mom.values()),
+        "dad": list(dad.values()),
+    }, k)
+    stages["build_graph_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    rois = core.find_rois(g, "kid", ["mom", "dad"])
+    stages["find_rois_s"] = round(time.perf_counter() - t0, 2)
+    roi_stats = more.evaluate_rois(rois, res["kmers"])
+
+    t0 = time.perf_counter()
+    parts = core.partition(g, rois)
+    stages["partition_s"] = round(time.perf_counter() - t0, 2)
+
+    # the WDL pipeline trims partitions to the novel span before calling
+    # (TrimPartitions between Partition and Call)
+    from corticall_tpu import evaluation as ev
+    t0 = time.perf_counter()
+    roi_set = {rois.kmer_string(i) for i in range(rois.num_records)}
+    parts = ev.trim_partitions(parts, roi_set, k)
+    stages["trim_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    refs = {"mom": IndexedReference(mom), "dad": IndexedReference(dad)}
+    stages["index_refs_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    caller = Caller(g, rois, parts, backgrounds=["mom", "dad"],
+                    references=refs)
+    variants, _ = caller.call()
+    stages["call_s"] = round(time.perf_counter() - t0, 2)
+
+    # truth recall: a truth variant counts as recovered if a call of matching
+    # alleles lands within 25 bp on the same chromosome (aligner placement of
+    # indels may shift within homopolymer context)
+    def matches(tv, cv):
+        if cv.chrom != tv.chrom or abs(cv.start - tv.start) > 25:
+            return False
+        if cv.is_symbolic():
+            return True
+        dt = len(tv.alleles[1]) - len(tv.alleles[0])
+        dc = len(cv.alleles[1]) - len(cv.alleles[0])
+        if dt != dc:
+            return False
+        return dt != 0 or cv.alleles[1] == tv.alleles[1]
+
+    recovered = sum(1 for tv in truth
+                    if any(matches(tv, cv) for cv in variants))
+
+    out = {
+        "metric": "pf_scale_cross_call_wallclock",
+        "genome_mbp": mbp, "k": k, "colors": 3,
+        "graph_records": g.num_records,
+        "injected_dnms": len(truth),
+        "roi_kmers": rois.num_records,
+        "roi_tp": roi_stats["tp"], "roi_fn": roi_stats["fn"],
+        "partitions": len(parts),
+        "calls": len(variants),
+        "truth_recovered": recovered,
+        "stages": stages,
+        "total_pipeline_s": round(sum(v for s, v in stages.items()
+                                      if s != "simulate_s"), 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
