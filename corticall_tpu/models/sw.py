@@ -35,7 +35,15 @@ def _gotoh(q: str, s: str, local: bool):
     """Wavefront Gotoh.  Returns (H, tbH, tbE, tbF) traceback matrices.
 
     tbH: 0=diag(M) 1=E(gap in s / deletion from q... gap in query row) 2=F 3=stop(local zero)
+
+    The C++ fill (native/corticall_native.cpp::ct_gotoh_fill, exact same
+    recurrence and tie-breaking) is used when available; the numpy wavefront
+    below is the always-available fallback.
     """
+    from .. import native
+    filled = native.gotoh_fill_native(q, s, local)
+    if filled is not None:
+        return filled
     n, m = len(q), len(s)
     qc, sc = _codes(q), _codes(s)
 

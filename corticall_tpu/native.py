@@ -57,12 +57,39 @@ def get_lib():
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
     ]
     lib.ct_free.argtypes = [ctypes.c_void_p]
+    _f64 = ctypes.POINTER(ctypes.c_double)
+    _i8 = ctypes.POINTER(ctypes.c_int8)
+    lib.ct_gotoh_fill.restype = ctypes.c_int32
+    lib.ct_gotoh_fill.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int32, _f64, _i8, _i8, _i8,
+    ]
     _lib = lib
     return _lib
 
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def gotoh_fill_native(q: str, s: str, local: bool):
+    """Native twin of models/sw.py::_gotoh.  Returns (H, None, None, tbH, tbE,
+    tbF) — E/F matrices are rolling buffers inside the C++ fill (the traceback
+    never reads them) — or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, m = len(q), len(s)
+    H = np.empty((n + 1, m + 1), dtype=np.float64)
+    tbH = np.empty((n + 1, m + 1), dtype=np.int8)
+    tbE = np.empty_like(tbH)
+    tbF = np.empty_like(tbH)
+    f64 = ctypes.POINTER(ctypes.c_double)
+    i8 = ctypes.POINTER(ctypes.c_int8)
+    lib.ct_gotoh_fill(
+        q.encode(), n, s.encode(), m, int(local), H.ctypes.data_as(f64),
+        tbH.ctypes.data_as(i8), tbE.ctypes.data_as(i8), tbF.ctypes.data_as(i8))
+    return H, None, None, tbH, tbE, tbF
 
 
 def count_kmers_native(sequences, k: int):

@@ -183,6 +183,82 @@ int64_t ct_count_kmers(const uint8_t* bases, const int64_t* offsets,
     return n;
 }
 
+// Affine-gap Gotoh DP fill (EDNAFULL 5/-4, gap 10+0.5k), exact twin of the
+// numpy wavefront in models/sw.py::_gotoh — same init, same tie-breaking
+// (gap-extend wins only on strictly greater), same local clamp-to-zero with
+// traceback code 3.  Traceback itself stays in Python (it walks one path).
+int ct_gotoh_fill(const char* q, int64_t n, const char* s, int64_t m, int local,
+                  double* H, int8_t* tbH, int8_t* tbE, int8_t* tbF) {
+    const double MATCH = 5.0, MISMATCH = -4.0, GO = 10.0, GE = 0.5;
+    const double NEG = -1e30;
+    auto code = [](char c) -> int {
+        switch (c) {
+            case 'A': case 'a': return 0;
+            case 'C': case 'c': return 1;
+            case 'G': case 'g': return 2;
+            case 'T': case 't': return 3;
+        }
+        return 4;
+    };
+    const int64_t W = m + 1;
+    // the downstream traceback reads only H and the tb matrices; E and F are
+    // kept as a rolling row (F) and a running scalar (E) to halve memory
+    // traffic — the fill is bandwidth-bound
+    double* Fprev = (double*)malloc(sizeof(double) * W);
+    for (int64_t j = 0; j <= m; j++) Fprev[j] = NEG;
+
+    // boundaries (row 0 / column 0) — the interior is written by the main loop
+    for (int64_t j = 0; j <= m; j++) { tbH[j] = 0; tbE[j] = 0; tbF[j] = 0; }
+    for (int64_t i = 1; i <= n; i++) {
+        tbH[i * W] = 0; tbE[i * W] = 0; tbF[i * W] = 0;
+    }
+    if (local) {
+        for (int64_t j = 0; j <= m; j++) H[j] = 0.0;
+        for (int64_t i = 1; i <= n; i++) H[i * W] = 0.0;
+    } else {
+        H[0] = 0.0;
+        for (int64_t j = 1; j <= m; j++) {
+            H[j] = -(GO + GE * (double)j);
+            tbH[j] = 1;
+            tbE[j] = j > 1 ? 1 : 0;
+        }
+        for (int64_t i = 1; i <= n; i++) {
+            H[i * W] = -(GO + GE * (double)i);
+            tbH[i * W] = 2;
+            tbF[i * W] = i > 1 ? 1 : 0;
+        }
+    }
+    for (int64_t i = 1; i <= n; i++) {
+        const int qc = code(q[i - 1]);
+        double e = NEG;  // E[i][0]
+        double h_left = H[i * W];
+        for (int64_t j = 1; j <= m; j++) {
+            const int scd = code(s[j - 1]);
+            const double sub = (qc == scd && qc < 4) ? MATCH : MISMATCH;
+            const double e_open = h_left - (GO + GE);
+            const double e_ext = e - GE;
+            e = e_open >= e_ext ? e_open : e_ext;
+            tbE[i * W + j] = e_ext > e_open ? 1 : 0;
+            const double f_open = H[(i - 1) * W + j] - (GO + GE);
+            const double f_ext = (i == 1 ? NEG : Fprev[j]) - GE;
+            const double f = f_open >= f_ext ? f_open : f_ext;
+            Fprev[j] = f;
+            tbF[i * W + j] = f_ext > f_open ? 1 : 0;
+            const double diag = H[(i - 1) * W + (j - 1)] + sub;
+            double best = diag;
+            int8_t tb = 0;
+            if (e > best) { best = e; tb = 1; }
+            if (f > best) { best = f; tb = 2; }
+            if (local && best < 0) { best = 0.0; tb = 3; }
+            H[i * W + j] = best;
+            tbH[i * W + j] = tb;
+            h_left = best;
+        }
+    }
+    free(Fprev);
+    return 0;
+}
+
 void ct_free(void* p) { free(p); }
 
 }  // extern "C"
