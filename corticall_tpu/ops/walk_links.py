@@ -31,7 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import hashtable as ht
+from . import cuckoo as ck
 from . import kmer_jax as kj
 from .. import kmer as km
 
@@ -100,47 +100,27 @@ def _char_at(choices, pos):
     return (word >> (2 * (pos % 16)).astype(jnp.uint32)) & 3
 
 
-@partial(jax.jit, static_argnames=("k", "max_probe", "num_steps"))
-def walk_links_forward(entries, slots_idx, keys, link_off, link_choices,
-                       link_len, link_fw, seeds, k: int, max_probe: int,
-                       num_steps: int):
+@partial(jax.jit, static_argnames=("k", "num_steps"))
+def walk_links_forward(buckets, edges_combined, link_off, link_choices,
+                       link_len, link_fw, seeds, k: int, num_steps: int):
     """Forward walks with link following.
 
-    entries: fused walk entries uint32[M, W+1] (edge-byte payload);
-    slots_idx/keys: plain hash table for record-index lookups (link CSR);
-    link_*: LinkArrays fields; seeds: uint32[B, W].
+    buckets: cuckoo table (ops/cuckoo.py) with payload = record index + 1 —
+    one stacked gather resolves the record; the edge byte rides a second
+    single-byte gather from edges_combined uint8[N].  link_*: LinkArrays
+    fields; seeds: uint32[B, W].
 
     Returns (bases int8[T, B], overflow bool[B], steps int32[B]).
     """
     b = seeds.shape[0]
     w = seeds.shape[1]
-    m = entries.shape[0]
-    mask = jnp.uint32(m - 1)
 
     def lookup_edge_and_rec(canon):
-        e_payload = jnp.zeros(b, jnp.uint32)
-        rec = ht.lookup(slots_idx, keys, canon, max_probe)
-        h = kj.hash_words(canon) & mask
-        resolved = jnp.zeros(b, bool)
-
-        def body(state):
-            p, payload, resolved = state
-            slot = ((h + p.astype(jnp.uint32)) & mask).astype(jnp.int32)
-            e = entries[slot]
-            tag = e[:, w]
-            match = (tag >= jnp.uint32(0x80000000)) & jnp.all(e[:, :w] == canon, axis=-1)
-            empty = tag == 0
-            payload = jnp.where(~resolved & match, tag & jnp.uint32(0x7FFFFFFF), payload)
-            resolved = resolved | match | empty
-            return p + 1, payload, resolved
-
-        def cond(state):
-            p, _, resolved = state
-            return (p < max_probe) & ~jnp.all(resolved)
-
-        _, e_payload, _ = jax.lax.while_loop(cond, body,
-                                             (jnp.int32(0), e_payload, resolved))
-        return e_payload, rec
+        pay = ck.lookup_payload(buckets, canon, w)
+        rec = pay.astype(jnp.int32) - 1
+        edge = jnp.where(rec >= 0,
+                         edges_combined[jnp.maximum(rec, 0)], 0).astype(jnp.uint32)
+        return edge, rec
 
     def step(state, _):
         (cur, active, overflow, el_choices, el_len, el_pos, el_age, el_valid,
@@ -294,12 +274,12 @@ def assemble_batch_links(dg, graph, colors, links_list, seeds: list,
     """Bidirectional link-assisted contigs (TraversalEngine.assemble with
     links).  dg: DeviceGraph; graph: host CortexGraph (for CSR build)."""
     k = dg.kmer_size
-    table = ht.build(np.asarray(dg.kmers))
-    edges_combined = np.asarray(dg.combined_edges(colors))
-    entries = jnp.asarray(table.build_walk_entries(np.asarray(dg.kmers),
-                                                   edges_combined))
+    kmers = np.asarray(dg.kmers)
+    ct = ck.build_cuckoo(kmers, np.arange(kmers.shape[0], dtype=np.uint32) + 1)
+    buckets = jnp.asarray(ct.buckets)
+    edges_combined = jnp.asarray(dg.combined_edges(colors))
     la = build_link_arrays(graph, links_list)
-    args = (entries, jnp.asarray(table.slots), dg.kmers,
+    args = (buckets, edges_combined,
             jnp.asarray(la.offsets), jnp.asarray(la.choices),
             jnp.asarray(la.lengths), jnp.asarray(la.forward))
 
@@ -307,8 +287,8 @@ def assemble_batch_links(dg, graph, colors, links_list, seeds: list,
     rc_strs = [km.revcomp(s) for s in seeds]
     rev = jnp.asarray(km.pack_codes(km.strings_to_codes(rc_strs), k))
 
-    fe, fo, _ = walk_links_forward(*args, fwd, k, table.max_probe, num_steps)
-    re_, ro, _ = walk_links_forward(*args, rev, k, table.max_probe, num_steps)
+    fe, fo, _ = walk_links_forward(*args, fwd, k, num_steps)
+    re_, ro, _ = walk_links_forward(*args, rev, k, num_steps)
     fe = np.asarray(fe).T
     re_ = np.asarray(re_).T
 
