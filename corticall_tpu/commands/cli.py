@@ -268,6 +268,17 @@ def cmd_compile_feature_table(args):
                 f.write("\t".join(row.get(c, "") for c in cols) + "\n")
 
 
+def cmd_show_novel_kmers(args):
+    from . import more
+    from ..io import fasta as faio
+    g = gr.CortexGraph.load(args.graph)
+    rois = gr.CortexGraph.load(args.rois)
+    contigs = faio.read_fasta_full_headers(args.contigs)
+    with _out_stream(args.out) as f:
+        for line in more.show_novel_kmers(contigs, rois, g):
+            f.write(line + "\n")
+
+
 def cmd_evaluate_rois(args):
     from . import more
     from ..io import table as tblio
@@ -703,6 +714,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--partitions", "-p", required=True)
     sp.add_argument("--rois", "-r", required=True)
     sp.add_argument("--out", "-o", required=True)
+
+    sp = add("ShowNovelKmers", cmd_show_novel_kmers,
+             help="per-contig-kmer novelty/record listing")
+    sp.add_argument("--contigs", "-c", required=True)
+    sp.add_argument("--rois", "-r", required=True)
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--out", "-o", default="-")
 
     sp = add("CompileFeatureTable", cmd_compile_feature_table,
              help="per-novel-kmer feature table for FDR modelling")

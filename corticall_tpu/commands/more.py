@@ -227,6 +227,25 @@ def annotate_calls(vcf_rows: list, accessory_bed: list, genes, repeats,
     return out
 
 
+def show_novel_kmers(contigs: list, rois: gr.CortexGraph,
+                     graph: gr.CortexGraph) -> list:
+    """Per-contig-kmer novelty/record listing (discover/call/
+    ShowNovelKmers.java:21-35): for every kmer of every contig, whether it is
+    an ROI and its graph record string.  Returns text lines."""
+    k = rois.kmer_size
+    out = []
+    for header, seq in contigs:
+        out.append(header.split(" ")[0])
+        n = len(seq) - k
+        for i in range(n + 1):
+            sk = seq[i:i + k]
+            in_roi = rois.find_record(sk) >= 0
+            rec = graph.find_record(sk)
+            rec_str = graph.record_string(rec) if rec >= 0 else "null"
+            out.append(f"{i}/{n} {sk} {in_roi} {rec_str}")
+    return out
+
+
 def vcf_to_inheritance_track(vcf_rows: list, attribute: str = "BACKGROUND") -> list:
     """VCF -> 'chrom pos parent' inheritance track (VCFToInheritanceTrack.java)."""
     return [f"{v['chrom']} {v['pos']} {v['info'].get(attribute, 'unknown')}"

@@ -160,6 +160,22 @@ def test_annotate_calls():
     assert info["PARTITION_NOVELS"] > 0
 
 
+def test_show_novel_kmers():
+    rng = np.random.default_rng(131)
+    g, rois, child = _trio(rng)
+    parts = core.partition(g, rois)
+    lines = more.show_novel_kmers(parts[:1], rois, g)
+    assert lines[0] == parts[0][0].split(" ")[0]
+    k = rois.kmer_size
+    n = len(parts[0][1]) - k
+    assert len(lines) == n + 2
+    # rows carry novelty flag + the record string (kmer + cov + edges)
+    novel_rows = [l for l in lines[1:] if " True " in l]
+    assert len(novel_rows) == int(parts[0][0].split("numNovels=")[1])
+    first = lines[1].split(" ")
+    assert first[0] == f"0/{n}" and len(first[1]) == k
+
+
 def test_nahr_generator():
     rng = np.random.default_rng(122)
     seq = _genome(rng, 3000)
