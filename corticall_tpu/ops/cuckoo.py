@@ -55,13 +55,19 @@ class CuckooTable:
 
 
 def build_cuckoo(kmers: np.ndarray, payload: np.ndarray,
-                 load_factor: float = 0.5) -> CuckooTable:
+                 load_factor: float = 0.5,
+                 num_buckets: int | None = None) -> CuckooTable:
     """kmers: uint32[N, W] unique canonical kmers; payload: uint[N] (< 2^31),
-    e.g. the combined edge byte for walk tables."""
+    e.g. the combined edge byte for walk tables.  num_buckets (power of two)
+    fixes the table size — used to build per-shard tables at a common size."""
     n, w = kmers.shape
-    nb = 4
-    while nb * BUCKET_SIZE * load_factor < max(n, 1):
-        nb *= 2
+    if num_buckets is not None:
+        nb = num_buckets
+        assert nb & (nb - 1) == 0 and nb * BUCKET_SIZE >= n
+    else:
+        nb = 4
+        while nb * BUCKET_SIZE * load_factor < max(n, 1):
+            nb *= 2
     mask = np.uint32(nb - 1)
 
     h = np_hash_words(kmers)

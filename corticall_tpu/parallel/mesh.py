@@ -5,7 +5,7 @@ whole JVMs).  Here the graph itself scales past one chip's HBM:
 
 - records are sharded by a routing hash of the canonical kmer over a 1-D
   device mesh axis ("shards"); each device holds its record slice and a local
-  open-addressing table over just that slice;
+  cuckoo table (ops/cuckoo.py) over just that slice;
 - walks are data-parallel over the same axis; each lookup step routes queries
   to their owning shard with jax.lax.all_to_all (the MoE token-routing
   pattern), answers locally by vectorized probe, and routes results back;
@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import graph as gr
+from ..ops import cuckoo as ck
 from ..ops import hashtable as ht
 from ..ops import kmer_jax as kj
 
@@ -43,14 +44,14 @@ def routing_hash(words: jnp.ndarray) -> jnp.ndarray:
 
 @dataclass
 class ShardedGraph:
-    """Per-shard record arrays (stacked on a leading mesh axis) + local tables."""
+    """Per-shard record arrays (stacked on a leading mesh axis) + local
+    cuckoo tables (payload = shard-local record index + 1)."""
     kmer_size: int
     num_shards: int
     kmers: jnp.ndarray      # uint32[n, Nmax, W]
     edges: jnp.ndarray      # uint8[n, Nmax, C]
     coverages: jnp.ndarray  # uint32[n, Nmax, C]
-    slots: jnp.ndarray      # int32[n, M]
-    max_probe: int
+    buckets: jnp.ndarray    # uint32[n, NB, 4*(W+1)] per-shard cuckoo tables
     counts: np.ndarray      # int64[n] real record count per shard
 
     @classmethod
@@ -64,11 +65,11 @@ class ShardedGraph:
         kmers = np.zeros((num_shards, n_max, w), dtype=np.uint32)
         edges = np.zeros((num_shards, n_max, c), dtype=np.uint8)
         covs = np.zeros((num_shards, n_max, c), dtype=np.uint32)
-        m = 16
-        while m * 0.7 < n_max:
-            m *= 2
-        slots_arr = np.full((num_shards, m), -1, dtype=np.int32)
-        max_probe = 1
+        nb = 4
+        while nb * ck.BUCKET_SIZE * 0.5 < n_max:
+            nb *= 2
+        buckets = np.zeros((num_shards, nb, ck.BUCKET_SIZE * (w + 1)),
+                           dtype=np.uint32)
         for s in range(num_shards):
             sel = shard == s
             ns = int(counts[s])
@@ -77,22 +78,24 @@ class ShardedGraph:
             kmers[s, :ns] = g.kmers[sel]
             edges[s, :ns] = g.edges[sel]
             covs[s, :ns] = g.coverages[sel]
-            table = ht.build(g.kmers[sel], table_size=m)
-            slots_arr[s] = table.slots
-            max_probe = max(max_probe, table.max_probe)
+            table = ck.build_cuckoo(
+                g.kmers[sel], np.arange(ns, dtype=np.uint32) + 1,
+                num_buckets=nb)
+            buckets[s] = table.buckets
         return cls(g.kmer_size, num_shards, jnp.asarray(kmers), jnp.asarray(edges),
-                   jnp.asarray(covs), jnp.asarray(slots_arr), max_probe, counts)
+                   jnp.asarray(covs), jnp.asarray(buckets), counts)
 
 
-def sharded_lookup_fn(num_shards: int, max_probe: int, payload_fn=None):
+def sharded_lookup_fn(num_shards: int, payload_fn=None):
     """Build the per-shard lookup body for use inside shard_map.
 
-    Returns f(queries_local [Bl, W], kmers_s, edges_s, covs_s, slots_s) ->
+    Returns f(queries_local [Bl, W], kmers_s, edges_s, covs_s, buckets_s) ->
     (idx [Bl] shard-local record index or -1, shard [Bl] owning shard,
      payload [Bl, ...] gathered by payload_fn(edges_s, covs_s, idx)).
+    The local answer is a one-gather cuckoo lookup (ops/cuckoo.py).
     """
 
-    def f(queries, kmers_s, edges_s, covs_s, slots_s):
+    def f(queries, kmers_s, edges_s, covs_s, buckets_s):
         bl = queries.shape[0]
         cap = bl  # worst-case bucket capacity (correct always; see module doc)
         t = (routing_hash(queries) % jnp.uint32(num_shards)).astype(jnp.int32)
@@ -119,7 +122,8 @@ def sharded_lookup_fn(num_shards: int, max_probe: int, payload_fn=None):
 
         # answer locally: recv [n, cap, W] -> idx [n, cap]
         flat = recv.reshape(num_shards * cap, -1)
-        idx = ht.lookup(slots_s, kmers_s, flat, max_probe)
+        w = flat.shape[1]
+        idx = ck.lookup_payload(buckets_s, flat, w).astype(jnp.int32) - 1
         if payload_fn is not None:
             pay = payload_fn(edges_s, covs_s, idx)
             pay = pay.reshape((num_shards, cap) + pay.shape[1:])
@@ -159,16 +163,16 @@ def make_sharded_walk_step(mesh: Mesh, sg: ShardedGraph, colors, k: int):
             out = out | e[:, i]
         return jnp.where(idx >= 0, out, 0).astype(jnp.uint8)
 
-    lookup = sharded_lookup_fn(num_shards, sg.max_probe, payload)
+    lookup = sharded_lookup_fn(num_shards, payload)
 
-    def step(cur, active, kmers_s, edges_s, covs_s, slots_s):
+    def step(cur, active, kmers_s, edges_s, covs_s, buckets_s):
         # shard_map gives leading axis of size 1 per device; drop it
         kmers_s = kmers_s[0]
         edges_s = edges_s[0]
         covs_s = covs_s[0]
-        slots_s = slots_s[0]
+        buckets_s = buckets_s[0]
         canon, flipped = kj.canonicalize_words(cur, k)
-        idx, _, e = lookup(canon, kmers_s, edges_s, covs_s, slots_s)
+        idx, _, e = lookup(canon, kmers_s, edges_s, covs_s, buckets_s)
         e = e.astype(jnp.uint32)
         next_mask = jnp.where(flipped, e >> 4, e & 0xF)
         n = kj.popcount4(next_mask)
@@ -187,6 +191,6 @@ def make_sharded_walk_step(mesh: Mesh, sg: ShardedGraph, colors, k: int):
 
     @jax.jit
     def run(cur, active):
-        return sharded(cur, active, sg.kmers, sg.edges, sg.coverages, sg.slots)
+        return sharded(cur, active, sg.kmers, sg.edges, sg.coverages, sg.buckets)
 
     return run
