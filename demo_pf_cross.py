@@ -44,7 +44,7 @@ def make_cross(rng, mbp: float, n_chroms: int, divergence: float):
 
 
 def main():
-    from corticall_tpu import fixtures, simulate as sim
+    from corticall_tpu import simulate as sim
     from corticall_tpu.commands import core, more
     from corticall_tpu.caller.call import Caller
     from corticall_tpu.models.reference_index import IndexedReference
@@ -66,11 +66,12 @@ def main():
     truth = res["truth_vcf"]
 
     t0 = time.perf_counter()
-    g = fixtures.build_graph({
-        "kid": list(res["child"].values()),
-        "mom": list(mom.values()),
-        "dad": list(dad.values()),
-    }, k)
+    from corticall_tpu import build
+    gs = [build.build_graph_from_reads(seqs, k, name) for name, seqs in
+          [("kid", list(res["child"].values())),
+           ("mom", list(mom.values())),
+           ("dad", list(dad.values()))]]
+    g = core.join(gs)  # == fixtures.build_graph, via the C++ counting core
     stages["build_graph_s"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
@@ -78,8 +79,10 @@ def main():
     stages["find_rois_s"] = round(time.perf_counter() - t0, 2)
     roi_stats = more.evaluate_rois(rois, res["kmers"])
 
+    # the pipeline trims partitions to novel span +-500 right after this, so
+    # a 4 kb contig cap loses nothing (the standalone command default is 40 kb)
     t0 = time.perf_counter()
-    parts = core.partition(g, rois)
+    parts = core.partition(g, rois, max_walk=2000)
     stages["partition_s"] = round(time.perf_counter() - t0, 2)
 
     # the WDL pipeline trims partitions to the novel span before calling
