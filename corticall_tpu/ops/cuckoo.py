@@ -105,33 +105,34 @@ def build_cuckoo(kmers: np.ndarray, payload: np.ndarray,
         np.add.at(counts, wt, 1)
         pending = pending[~winner]
 
-    # serial eviction walk for the stragglers (load 0.5 -> a handful at most)
+    # serial eviction walk for the stragglers (load 0.5 -> a handful at most);
+    # a vectorized (bucket, pos) -> key occupancy array keeps this phase
+    # O(stragglers), not O(N)
     if pending.size:
-        slots = [[] for _ in range(nb)]  # bucket -> list of key indices
-        placed = bucket_of >= 0
-        for ki in np.nonzero(placed)[0]:
-            slots[bucket_of[ki]].append(int(ki))
+        occ = np.full((nb, BUCKET_SIZE), -1, dtype=np.int64)
+        placed = np.nonzero(bucket_of >= 0)[0]
+        occ[bucket_of[placed], pos_of[placed]] = placed
         rng = np.random.default_rng(0)
         for ki in pending:
             key = int(ki)
             b = int(h1[key])
             for _ in range(10000):
-                if len(slots[b]) < BUCKET_SIZE:
-                    slots[b].append(key)
+                c = int(counts[b])
+                if c < BUCKET_SIZE:
+                    occ[b, c] = key
                     bucket_of[key] = b
+                    pos_of[key] = c
+                    counts[b] += 1
                     break
-                victim_pos = int(rng.integers(0, BUCKET_SIZE))
-                victim = slots[b][victim_pos]
-                slots[b][victim_pos] = key
+                vp = int(rng.integers(0, BUCKET_SIZE))
+                victim = int(occ[b, vp])
+                occ[b, vp] = key
                 bucket_of[key] = b
+                pos_of[key] = vp
                 key = victim
                 b = int(h2[key]) if int(h1[key]) == b else int(h1[key])
             else:
                 raise RuntimeError("cuckoo build failed; lower load_factor")
-        for b, keys in enumerate(slots):
-            for p, key in enumerate(keys):
-                bucket_of[key] = b
-                pos_of[key] = p
 
     buckets = np.zeros((nb, BUCKET_SIZE * (w + 1)), dtype=np.uint32)
     col = pos_of * (w + 1)
