@@ -324,7 +324,8 @@ def simulate_haploid_child(ref1: dict, ref2: dict, parents=("parent1", "parent2"
                 chrom=parent_chr, start=ref_pos_left + 1,
                 alleles=[old or seed_left[-1], new or seed_left[-1]],
                 attributes={"TYPE": vtype, "SEED_LEFT": seed_left,
-                            "SEED_RIGHT": seed_right},
+                            "SEED_RIGHT": seed_right,
+                            "BACKGROUND": parent_name},
             ).compute_end_from_alleles())
 
     child = {f"chr{i + 1}": s for i, s in enumerate(chroms)}

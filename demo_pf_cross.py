@@ -120,6 +120,24 @@ def main():
     recovered = sum(1 for tv in truth
                     if any(matches(tv, cv) for cv in variants))
 
+    # the WDL's actual concordance metric: alt-haplotype kmer-Venn overlap
+    # (EvaluateAccuracy / ComputeVenn, Simulate.wdl:1209-1330), scoped per
+    # background parent since mom/dad share chromosome names
+    from corticall_tpu import evaluation as ev
+
+    def vrow(v):
+        back = v.get_attr("BACKGROUND") or ""
+        return {"chrom": f"{back}:{v.chrom}", "pos": v.start,
+                "ref": v.alleles[0], "alt": v.alleles[1],
+                "info": {"TYPE": v.get_attr("TYPE", "UNK")}}
+
+    ref_seqs = {f"mom:{c}": s for c, s in mom.items()}
+    ref_seqs.update({f"dad:{c}": s for c, s in dad.items()})
+    venn = ev.evaluate_calls(
+        [vrow(tv) for tv in truth],
+        [vrow(cv) for cv in variants if not cv.is_symbolic()],
+        ref_seqs, k)
+
     out = {
         "metric": "pf_scale_cross_call_wallclock",
         "genome_mbp": mbp, "k": k, "colors": 3,
@@ -130,6 +148,7 @@ def main():
         "partitions": len(parts),
         "calls": len(variants),
         "truth_recovered": recovered,
+        "kmer_venn": {kk: venn[kk] for kk in ("tp", "fn", "fp")},
         "stages": stages,
         "total_pipeline_s": round(sum(v for s, v in stages.items()
                                       if s != "simulate_s"), 2),
