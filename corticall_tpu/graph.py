@@ -142,17 +142,13 @@ class CortexGraph:
         """
         if isinstance(kmer, str):
             # scalar fast path: canonical min == string min (code order is
-            # ASCII order), pure-int packing
+            # ASCII order), pure-int packing, memoized per canonical string
             if len(kmer) != self.kmer_size:
                 raise ValueError(
                     f"kmer length {len(kmer)} != graph kmer size {self.kmer_size}")
             kmer = kmer.upper()
             rc = km.revcomp(kmer)
-            canon_s = kmer if kmer <= rc else rc
-            try:
-                key = km.kmer_key_bytes(canon_s, self.kmer_size)
-            except KeyError:
-                raise ValueError(f"invalid nucleotide in {kmer!r}")
+            return self._find_canonical(kmer if kmer <= rc else rc)
         else:
             if isinstance(kmer, bytes):
                 codes = km.string_to_codes(kmer)
@@ -168,6 +164,29 @@ class CortexGraph:
         if i < self.num_records and self.data.kmer_bytes[i] == key:
             return i
         return -1
+
+    def find_record_oriented(self, kmer: str) -> tuple[int, bool]:
+        """(record index or -1, flipped) — one canonicalization, memoized."""
+        kmer = kmer.upper()
+        rc = km.revcomp(kmer)
+        flipped = kmer > rc
+        return self._find_canonical(rc if flipped else kmer), flipped
+
+    def _find_canonical(self, canon_s: str) -> int:
+        cache = self.__dict__.setdefault("_find_cache", {})
+        r = cache.get(canon_s)
+        if r is None:
+            try:
+                key = km.kmer_key_bytes(canon_s, self.kmer_size)
+            except KeyError:
+                raise ValueError(f"invalid nucleotide in {canon_s!r}")
+            i = int(np.searchsorted(self.data.kmer_bytes, key))
+            r = i if (i < self.num_records
+                      and self.data.kmer_bytes[i] == key) else -1
+            if len(cache) > 4_000_000:
+                cache.clear()
+            cache[canon_s] = r
+        return r
 
     def find_records(self, canon_words: np.ndarray) -> np.ndarray:
         """Vectorized lookup: uint32[N, W] *canonical* packed kmers -> int64[N] (-1 miss)."""

@@ -27,6 +27,7 @@ AND = "AND"
 OR = "OR"
 
 _BASES = "ACGT"
+_REV4_I = [int(f"{i:04b}"[::-1], 2) for i in range(16)]
 
 
 @dataclass
@@ -64,24 +65,32 @@ class TraversalEngine:
     # neighbor expansion
     # ------------------------------------------------------------------
     def _all_adjacent(self, sk: str, want_next: bool) -> dict:
-        """color -> set of adjacent kmer strings (TraversalUtils.getAllNext/PrevKmers)."""
+        """color -> set of adjacent kmer strings (TraversalUtils.getAllNext/PrevKmers).
+
+        Pure-int edge decode (the numpy scalar path costs ~6us/color; this is
+        the hottest host-walk helper)."""
         g = self.ec.graph
-        rec = g.find_record(sk)
+        rec, flipped = g.find_record_oriented(sk)
         out: dict[int, set] = {c: set() for c in range(g.num_colors)}
         if rec < 0:
             return out
-        canon = g.kmer_string(rec)
-        flipped = canon != sk
+        erow = g.edges[rec]
+        stem_next = sk[1:]
+        stem_prev = sk[:-1]
         for c in range(g.num_colors):
-            e = int(g.edges[rec, c])
-            prev_mask, next_mask = gr.edges_to_masks(e, flipped)
-            mask = next_mask if want_next else prev_mask
-            for b in range(4):
-                if mask & (1 << b):
-                    if want_next:
-                        out[c].add(sk[1:] + _BASES[b])
-                    else:
-                        out[c].add(_BASES[b] + sk[:-1])
+            e = int(erow[c])
+            hi = e >> 4
+            lo = e & 0xF
+            if want_next:
+                mask = hi if flipped else lo
+            else:
+                mask = _REV4_I[lo] if flipped else _REV4_I[hi]
+            if mask:
+                s = out[c]
+                for b in range(4):
+                    if mask & (1 << b):
+                        s.add(stem_next + _BASES[b] if want_next
+                              else _BASES[b] + stem_prev)
         return out
 
     def _vertices_for(self, kmers) -> set:
