@@ -111,3 +111,25 @@ def test_align_repeat_gets_mapq0():
     a = ir.align(unit[50:250])
     assert len(a) >= 2
     assert a[0].mapq == 0  # ambiguous placement
+
+
+def test_interval_combiner():
+    import numpy as np
+    from corticall_tpu.models.interval_combiner import get_intervals
+    rng = np.random.default_rng(9)
+    seq = "".join(rng.choice(list("ACGT"), 3000))
+    ir = IndexedReference({"chr1": seq})
+    k = 21
+    walk = ([seq[i:i + k] for i in range(100, 160)]
+            + [seq[i:i + k] for i in range(2000, 2030)])
+    states = get_intervals(walk, {"ref": ir}, location_window=50,
+                           max_states_per_background=2)
+    assert len(states) == 2 and all(n == "ref" for n, _ in states)
+    ivs = sorted((it.start, it.end) for _, it in states)
+    assert ivs[0][0] <= 60 and ivs[0][1] >= 220        # first cluster merged
+    assert ivs[1][0] <= 1960 and ivs[1][1] >= 2090     # second cluster merged
+    # longest interval first, capped per background
+    assert (states[0][1].end - states[0][1].start
+            >= states[1][1].end - states[1][1].start)
+    one = get_intervals(walk, {"ref": ir}, 50, 1)
+    assert len(one) == 1
