@@ -138,3 +138,49 @@ def connected_components(g: Subgraph) -> list:
                     stack.append(s)
         comps.append(comp)
     return comps
+
+
+def fill_gaps(walk, graph, links, colors) -> Subgraph:
+    """TraversalUtils.fillGaps(List<CortexVertex>, ...) port
+    (TraversalUtils.java:121-205; the reference ships it without call sites —
+    Call's close_gaps covers the production pattern).  Per color: connect the
+    covered sub-walk, then close coverage gaps with a DestinationStopper DFS
+    (max branch 1000) from vertices with unrealized next-kmers to vertices
+    with unrealized prev-kmers; merge all colors."""
+    from .engine import TraversalConfig, TraversalEngine, FORWARD, REVERSE, OR
+    from .stopping import DestinationStopper
+
+    g_all = Subgraph()
+    for c in colors:
+        g = Subgraph()
+        for i, v in enumerate(walk):
+            if v.rec >= 0 and int(graph.coverages[v.rec, c]) > 0:
+                g.add_vertex(v)
+                if i > 0:
+                    p = walk[i - 1]
+                    if p.rec >= 0 and int(graph.coverages[p.rec, c]) > 0:
+                        g.add_edge(p, v, c)
+
+        def engine(direction):
+            return TraversalEngine(TraversalConfig(
+                graph=graph, traversal_colors=[c], direction=direction,
+                combination=OR, stopping_rule=DestinationStopper,
+                max_branch_length=1000, links=list(links)))
+
+        ef = engine(FORWARD)
+        sources, sinks = set(), set()
+        for v in g.vertices():
+            next_in_g = {t.kmer for t, _ in g.out_edges(v)}
+            if ef._all_adjacent(v.kmer, True).get(c, set()) - next_in_g:
+                sources.add(v.kmer)
+            prev_in_g = {s.kmer for s, _ in g.in_edges(v)}
+            if ef._all_adjacent(v.kmer, False).get(c, set()) - prev_in_g:
+                sinks.add(v.kmer)
+
+        g_fill = ef.dfs_multi(sorted(sources), sorted(sinks))
+        if g_fill is None:
+            g_fill = engine(REVERSE).dfs_multi(sorted(sinks), sorted(sources))
+        if g_fill is not None:
+            g.add_graph(g_fill)
+        g_all.add_graph(g)
+    return g_all

@@ -222,3 +222,23 @@ def test_bgzf_large_payload_roundtrip(tmp_path):
     # gzip-compatible whole-file read
     import gzip
     assert gzip.open(p, "rb").read() == payload
+
+
+def test_fill_gaps_closes_walk_gap():
+    import numpy as np
+    from corticall_tpu import kmer as km
+    from corticall_tpu.traversal.utils import fill_gaps
+    from corticall_tpu.traversal.subgraph import Vertex
+    rng = np.random.default_rng(55)
+    genome = "".join(rng.choice(list("ACGT"), 400))
+    k = 21
+    g = fixtures.build_graph({"s": [genome]}, k)
+    kmers = [genome[i:i + k] for i in range(len(genome) - k + 1)]
+    walk = [Vertex(sk, g.find_record(sk)) for sk in kmers]
+    # remove a middle stretch from the walk: fillGaps must restore it by DFS
+    gap_lo, gap_hi = 150, 180
+    broken = walk[:gap_lo] + walk[gap_hi:]
+    filled = fill_gaps(broken, g, [], [0])
+    have = {v.canonical for v in filled.vertices()}
+    for sk in kmers[gap_lo:gap_hi]:
+        assert min(sk, km.revcomp(sk)) in have
