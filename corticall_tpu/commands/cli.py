@@ -268,6 +268,16 @@ def cmd_compile_feature_table(args):
                 f.write("\t".join(row.get(c, "") for c in cols) + "\n")
 
 
+def cmd_explore(args):
+    from . import more
+    from ..io import links as lkio
+    g = gr.CortexGraph.load(args.graph)
+    links_list = [lkio.open_links(p) for p in (args.links or [])]
+    contig = more.explore(g, links_list, args.sample, args.begin, args.end)
+    with _out_stream(args.out) as f:
+        f.write(contig + "\n")
+
+
 def cmd_show_novel_kmers(args):
     from . import more
     from ..io import fasta as faio
@@ -714,6 +724,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--partitions", "-p", required=True)
     sp.add_argument("--rois", "-r", required=True)
     sp.add_argument("--out", "-o", required=True)
+
+    sp = add("Explore", cmd_explore,
+             help="DFS walk between two kmers in one sample's color")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--links", "-l", action="append")
+    sp.add_argument("--sample", "-s", required=True)
+    sp.add_argument("--begin", "-b", required=True)
+    sp.add_argument("--end", "-e", required=True)
+    sp.add_argument("--out", "-o", default="-")
 
     sp = add("ShowNovelKmers", cmd_show_novel_kmers,
              help="per-contig-kmer novelty/record listing")

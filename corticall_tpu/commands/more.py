@@ -246,6 +246,31 @@ def show_novel_kmers(contigs: list, rois: gr.CortexGraph,
     return out
 
 
+def explore(graph: gr.CortexGraph, links_list: list, sample: str,
+            begin: str, end: str) -> str:
+    """utils/Explore.java:38-72 equivalent: DestinationStopper DFS between
+    two kmers in one sample's color (the reference hardcodes sample "3D7"
+    and ships its output block commented out; here the walk contig is
+    actually emitted).  Returns the walked contig ('' if unreachable)."""
+    from ..traversal.engine import (TraversalConfig, TraversalEngine, BOTH,
+                                    OR)
+    from ..traversal.stopping import DestinationStopper
+    from ..traversal.utils import to_contig, to_walk
+
+    color = graph.color_for_sample(sample)
+    e = TraversalEngine(TraversalConfig(
+        graph=graph, traversal_colors=[color], direction=BOTH,
+        combination=OR, stopping_rule=DestinationStopper,
+        links=list(links_list)))
+    g = e.dfs(begin, end)
+    if g is None:
+        g = e.dfs(end, begin)
+    if g is None:
+        return ""
+    w = to_walk(g, begin, color, graph=graph)
+    return to_contig(w) if w else ""
+
+
 def vcf_to_inheritance_track(vcf_rows: list, attribute: str = "BACKGROUND") -> list:
     """VCF -> 'chrom pos parent' inheritance track (VCFToInheritanceTrack.java)."""
     return [f"{v['chrom']} {v['pos']} {v['info'].get(attribute, 'unknown')}"
