@@ -929,6 +929,10 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     try:
         args.fn(args)
+    except (ValueError, FileNotFoundError) as e:
+        # user-input errors: one clear line, no traceback (Module.java-style)
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     except BrokenPipeError:
         # output piped into head/less and closed early — not an error
         import os

@@ -115,7 +115,12 @@ class CortexGraph:
         return self.data.header.sample_names
 
     def color_for_sample(self, name: str) -> int:
-        return self.data.header.sample_names.index(name)
+        try:
+            return self.data.header.sample_names.index(name)
+        except ValueError:
+            raise ValueError(
+                f"sample {name!r} not in graph (samples: "
+                f"{', '.join(self.data.header.sample_names)})") from None
 
     def colors_for_samples(self, names) -> list[int]:
         return [self.color_for_sample(n) for n in names]

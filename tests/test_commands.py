@@ -195,3 +195,43 @@ def test_indexlinks_cli(tmp_path):
     ra = lk.open_links(bgz)
     assert ra.source == "srcX"
     assert set(ra.index) == set(links.records)
+
+
+def test_cli_explore_show_novel(tmp_path):
+    g = trio()
+    gp = tmp_path / "trio.ctx"
+    g.save(gp)
+
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(*args):
+        return subprocess.run([sys.executable, "-m", "corticall_tpu", *args],
+                              capture_output=True, text=True, env=env, cwd=repo)
+
+    kid = "AGTTCTGATCTGGGCTATGGCTA"
+    r = run("Explore", "-g", str(gp), "-s", "kid",
+            "-b", kid[:5], "-e", kid[10:15], "-o", "-")
+    assert r.returncode == 0, r.stderr
+    contig = r.stdout.strip()
+    assert kid[:5] in contig and kid[10:15] in contig and contig in kid
+
+    rois = tmp_path / "rois.ctx"
+    parts = tmp_path / "parts.fa"
+    assert run("FindROIs", "-g", str(gp), "-c", "kid", "-p", "mom",
+               "-p", "dad", "-o", str(rois)).returncode == 0
+    assert run("Partition", "-g", str(gp), "-r", str(rois),
+               "-o", str(parts)).returncode == 0
+    r = run("ShowNovelKmers", "-c", str(parts), "-r", str(rois),
+            "-g", str(gp), "-o", "-")
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.strip().splitlines()
+    assert lines[0].startswith("partition")
+    assert any(" True " in l for l in lines[1:])
+
+    # probe: nonexistent sample must fail with a clear error, not traceback
+    r = run("Explore", "-g", str(gp), "-s", "nobody",
+            "-b", kid[:5], "-e", kid[10:15])
+    assert r.returncode != 0
