@@ -359,9 +359,7 @@ def partition(graph: gr.CortexGraph, roi: gr.CortexGraph, links=(),
 
 
 def _partition_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
-                      max_walk: int) -> list:
-    import jax.numpy as jnp
-    from ..ops import cuckoo as cko
+                      max_walk: int, small_batch: int = 32768) -> list:
     from ..ops import walk as wk
 
     k = graph.kmer_size
@@ -369,24 +367,40 @@ def _partition_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
     if not cks:
         return []
     child_color = graph.color_for_sample(roi.sample_name(0))
-    ct = cko.build_cuckoo(graph.kmers, graph.edges[:, child_color])
-    buckets = jnp.asarray(ct.buckets)
 
     rc = [km.revcomp(s) for s in cks]
     contigs: dict = {}
-    chunk = 65536
-    for lo in range(0, len(cks), chunk):
-        f_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(cks[lo:lo + chunk]), k))
-        r_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(rc[lo:lo + chunk]), k))
-        fb, fc, _ = cko.walk_forward_cuckoo(buckets, f_seeds, k, max_walk)
-        rb, rcy, _ = cko.walk_forward_cuckoo(buckets, r_seeds, k, max_walk)
-        fb, rb = np.asarray(fb).T, np.asarray(rb).T
-        fc, rcy = np.asarray(fc), np.asarray(rcy)
-        for i in range(fb.shape[0]):
-            s = cks[lo + i]
+    if len(cks) <= small_batch:
+        # small batches: the vectorized numpy twin beats any XLA compile
+        # (identical output stream; ops/walk_np.py)
+        from ..ops import walk_np as wnp
+        fb, fc, _ = wnp.walk_forward_np(
+            graph, [child_color], km.strings_to_codes(cks), max_walk)
+        rb, rcy, _ = wnp.walk_forward_np(
+            graph, [child_color], km.strings_to_codes(rc), max_walk)
+        fb, rb = fb.T, rb.T
+        for i, s in enumerate(cks):
             fwd_ext = wk.replay_walk(s, fb[i], bool(fc[i]), max_walk)
-            back_ext = wk.replay_walk(rc[lo + i], rb[i], bool(rcy[i]), max_walk)
+            back_ext = wk.replay_walk(rc[i], rb[i], bool(rcy[i]), max_walk)
             contigs[s] = (km.revcomp(back_ext) if back_ext else "") + s + fwd_ext
+    else:
+        import jax.numpy as jnp
+        from ..ops import cuckoo as cko
+        ct = cko.build_cuckoo(graph.kmers, graph.edges[:, child_color])
+        buckets = jnp.asarray(ct.buckets)
+        chunk = 65536
+        for lo in range(0, len(cks), chunk):
+            f_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(cks[lo:lo + chunk]), k))
+            r_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(rc[lo:lo + chunk]), k))
+            fb, fc, _ = cko.walk_forward_cuckoo(buckets, f_seeds, k, max_walk)
+            rb, rcy, _ = cko.walk_forward_cuckoo(buckets, r_seeds, k, max_walk)
+            fb, rb = np.asarray(fb).T, np.asarray(rb).T
+            fc, rcy = np.asarray(fc), np.asarray(rcy)
+            for i in range(fb.shape[0]):
+                s = cks[lo + i]
+                fwd_ext = wk.replay_walk(s, fb[i], bool(fc[i]), max_walk)
+                back_ext = wk.replay_walk(rc[lo + i], rb[i], bool(rcy[i]), max_walk)
+                contigs[s] = (km.revcomp(back_ext) if back_ext else "") + s + fwd_ext
 
     roi_keys = np.sort(km.words_to_bytes_be(roi.kmers, k))
 

@@ -1,0 +1,73 @@
+"""Numpy twin of the batched walk kernel for small batches.
+
+The device kernel (ops/cuckoo.py::walk_forward_cuckoo) pays a one-time XLA
+compile that is only worth it for large frontiers; for small batches
+(Partition's few thousand ROI walks) this vectorized numpy walk produces the
+IDENTICAL output stream — same emitted bases, Brent cycle flags, and step
+counts — with zero compile cost, using the graph's sorted-key lookup
+(searchsorted) instead of a hash table.  Same reference semantics
+(TraversalEngine.java:241-279 single-successor walk).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import graph as gr
+from .. import kmer as km
+
+_POP4 = np.array([bin(i).count("1") for i in range(16)], dtype=np.int8)
+_LOW4 = np.array([(i & -i).bit_length() - 1 if i else 0 for i in range(16)],
+                 dtype=np.int8)
+
+
+def walk_forward_np(graph: gr.CortexGraph, colors, seed_codes: np.ndarray,
+                    num_steps: int):
+    """seed_codes: uint8[B, k] walk-orientation kmer codes.
+
+    Returns (bases int8[T, B], cycled bool[B], steps int32[B]) — bit-identical
+    to walk_forward_cuckoo on the same graph/colors/seeds.
+    """
+    b, k = seed_codes.shape
+    cols = list(colors)
+    edges = graph.edges[:, cols[0]].copy()
+    for c in cols[1:]:
+        edges |= graph.edges[:, c]
+
+    cur = seed_codes.astype(np.uint8)
+    active = np.ones(b, dtype=bool)
+    saved = cur.copy()
+    power = np.ones(b, dtype=np.int32)
+    lam = np.zeros(b, dtype=np.int32)
+    bases = np.full((num_steps, b), -1, dtype=np.int8)
+    cycles = np.zeros(b, dtype=bool)
+
+    for t in range(num_steps):
+        if not active.any():
+            break
+        canon, flipped = km.canonicalize_codes(cur)
+        idx = graph.find_records(km.pack_codes(canon, k))
+        e = np.where(idx >= 0, edges[np.maximum(idx, 0)], 0).astype(np.uint8)
+        next_mask = np.where(flipped, e >> 4, e & 0xF).astype(np.int64)
+        n = _POP4[next_mask]
+        base = _LOW4[next_mask]
+        nxt = np.concatenate([cur[:, 1:], base[:, None].astype(np.uint8)],
+                             axis=1)
+
+        single = n == 1
+        is_cycle = (nxt == saved).all(axis=1) & single & active
+        advance = active & single & ~is_cycle
+        bases[t] = np.where(advance, base, -1).astype(np.int8)
+        cycles |= is_cycle
+
+        teleport = (power == lam) & advance
+        saved = np.where(teleport[:, None], nxt, saved)
+        power = np.where(teleport, power * 2, power)
+        lam = np.where(teleport, 0, lam)
+        lam = np.where(advance, lam + 1, lam)
+
+        cur = np.where(advance[:, None], nxt, cur)
+        active = advance
+
+    steps = (bases >= 0).sum(axis=0).astype(np.int32)
+    return bases, cycles, steps

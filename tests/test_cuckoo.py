@@ -61,3 +61,19 @@ def test_cuckoo_high_load():
     ct = ck.build_cuckoo(g.kmers, g.edges[:, 0], load_factor=0.9)
     tags = ct.buckets.reshape(ct.num_buckets, ck.BUCKET_SIZE, ct.words + 1)[..., -1]
     assert int((tags >= 0x80000000).sum()) == g.num_records
+
+
+def test_walk_np_matches_cuckoo():
+    from corticall_tpu.ops import walk_np as wnp
+    for k in (15, 47):
+        g, genome, rng = _graph(100 + k, 30000, k)
+        ct = ck.build_cuckoo(g.kmers, g.edges[:, 0])
+        buckets = jnp.asarray(ct.buckets)
+        starts = rng.integers(0, 30000 - k, size=96)
+        seed_strs = [genome[i:i + k] for i in starts]
+        seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(seed_strs), k))
+        cb, cc, cs = ck.walk_forward_cuckoo(buckets, seeds, k, 120)
+        nb, nc, ns = wnp.walk_forward_np(g, [0], km.strings_to_codes(seed_strs), 120)
+        np.testing.assert_array_equal(np.asarray(cb), nb)
+        np.testing.assert_array_equal(np.asarray(cc), nc)
+        np.testing.assert_array_equal(np.asarray(cs), ns)
