@@ -149,6 +149,7 @@ def main():
         "calls": len(variants),
         "truth_recovered": recovered,
         "kmer_venn": {kk: venn[kk] for kk in ("tp", "fn", "fp")},
+        "venn_by_type": venn["by_type"],
         "stages": stages,
         "total_pipeline_s": round(sum(v for s, v in stages.items()
                                       if s != "simulate_s"), 2),
