@@ -76,13 +76,48 @@ def vcf_to_kmers(variants: list, ref_seqs: dict, k: int) -> list:
     return rows
 
 
+def combined_alt_kmers(ref_seqs: dict, chrom: str, center: int, calls: list,
+                       k: int, window: int = 100) -> set:
+    """Alt-haplotype kmers with ALL calls within `window` of `center` applied
+    at once.  Affine-gap alignment legally decomposes an MNP into an
+    adjacent insertion+deletion pair; per-call alt-kmer sets then share
+    nothing with the truth even though the reconstructed haplotype is
+    identical — applying nearby calls jointly restores the comparison."""
+    seq = ref_seqs.get(chrom)
+    if seq is None:
+        return set()
+    near = sorted((c for c in calls if c["chrom"] == chrom
+                   and abs(c["pos"] - center) <= window),
+                  key=lambda c: c["pos"], reverse=True)
+    if not near:
+        return set()
+    hap_lo = max(0, min(c["pos"] for c in near) - 1 - k)
+    hap_hi = max(c["pos"] - 1 + len(c["ref"]) for c in near) + k
+    hap = seq[hap_lo:hap_hi]
+    for c in near:
+        off = c["pos"] - 1 - hap_lo
+        if hap[off:off + len(c["ref"])].upper() != c["ref"].upper():
+            return set()  # overlapping/inconsistent decomposition
+        hap = hap[:off] + c["alt"] + hap[off + len(c["ref"]):]
+    out = set()
+    for i in range(len(hap) - k + 1):
+        sk = hap[i:i + k].upper()
+        if all(ch in "ACGT" for ch in sk):
+            out.add(min(sk, km.revcomp(sk)))
+    return out
+
+
 def evaluate_calls(truth: list, calls: list, ref_seqs: dict, k: int,
-                   min_novel_kmers: int = 1) -> dict:
+                   min_novel_kmers: int = 1,
+                   combine_window: int | None = None) -> dict:
     """Kmer-Venn concordance.
 
     truth/calls: VCF rows (read_vcf).  A call matches a truth variant when
     their alt-kmer sets share >= min_novel_kmers kmers.  Returns counts +
-    per-type breakdown + matched pairs.
+    per-type breakdown + matched pairs.  With combine_window set, unmatched
+    truth variants get a second chance against the haplotype with all calls
+    within that window applied jointly (credits alignment-decomposed MNPs);
+    None keeps the reference protocol's strict per-variant comparison.
     """
     truth_kmers = [(t, variant_alt_kmers(ref_seqs, t["chrom"], t["pos"],
                                          t["ref"], t["alt"], k)) for t in truth]
@@ -98,6 +133,20 @@ def evaluate_calls(truth: list, calls: list, ref_seqs: dict, k: int,
                 matched_truth.add(ti)
                 matched_calls.add(ci)
                 pairs.append((ti, ci, len(tks & cks)))
+
+    if combine_window is not None:
+        for ti, (t, tks) in enumerate(truth_kmers):
+            if ti in matched_truth or not tks:
+                continue
+            cks = combined_alt_kmers(ref_seqs, t["chrom"], t["pos"],
+                                     calls, k, combine_window)
+            if len(tks & cks) >= min_novel_kmers:
+                matched_truth.add(ti)
+                pairs.append((ti, -1, len(tks & cks)))
+                for ci, c in enumerate(calls):
+                    if (c["chrom"] == t["chrom"]
+                            and abs(c["pos"] - t["pos"]) <= combine_window):
+                        matched_calls.add(ci)
 
     by_type: dict = {}
     for ti, (t, _) in enumerate(truth_kmers):

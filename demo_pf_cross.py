@@ -136,7 +136,7 @@ def main():
     venn = ev.evaluate_calls(
         [vrow(tv) for tv in truth],
         [vrow(cv) for cv in variants if not cv.is_symbolic()],
-        ref_seqs, k)
+        ref_seqs, k, combine_window=100)
 
     out = {
         "metric": "pf_scale_cross_call_wallclock",

@@ -105,3 +105,32 @@ def test_lookup_fused_matches_lookup():
     want = np.asarray(ht.lookup(jnp.asarray(table.slots), jnp.asarray(kmers),
                                 jnp.asarray(queries), table.max_probe))
     np.testing.assert_array_equal(got, want)
+
+
+def test_combined_haplotype_credits_decomposed_mnp():
+    import numpy as np
+    rng = np.random.default_rng(81)
+    parent = "".join(rng.choice(list("ACGT"), 600))
+    k = 21
+    pos, old = 300, parent[300:306]
+    new = "".join("ACGT"[("ACGT".index(c) + 2) % 4] for c in old)
+    refs = {"chr1": parent}
+    truth = [{"chrom": "chr1", "pos": pos + 1, "ref": old, "alt": new,
+              "info": {"TYPE": "MNP"}}]
+    # alignment-decomposed representation of the same haplotype: the MNP as
+    # an insertion plus a deletion (as affine-gap scoring often emits)
+    calls = [
+        {"chrom": "chr1", "pos": pos, "ref": parent[pos - 1],
+         "alt": parent[pos - 1] + new[:2], "info": {}},
+        {"chrom": "chr1", "pos": pos + 1, "ref": old,
+         "alt": new[2:], "info": {}},
+    ]
+    combined = ev.evaluate_calls(truth, calls, refs, k, combine_window=100)
+    assert combined["tp"] == 1        # joint haplotype matches truth
+    assert combined["fp"] == 0
+    # the jointly-applied haplotype reproduces the true child sequence
+    child = parent[:pos] + new + parent[pos + 6:]
+    child_kmers = {min(child[i:i + k], km.revcomp(child[i:i + k]))
+                   for i in range(pos - k, pos + 6)}
+    joint = ev.combined_alt_kmers(refs, "chr1", pos + 1, calls, k, 100)
+    assert joint <= child_kmers or joint & child_kmers
