@@ -115,3 +115,60 @@ def test_write_outputs(tmp_path):
     acct_text = acct.read_text().splitlines()
     assert len(acct_text) == rois.num_records
     assert any("CC" in line for line in acct_text)
+
+
+def test_call_mnp_decomposition_reconstructs_haplotype():
+    """An MNP may legally decompose into adjacent indels under affine-gap
+    scoring; the calls must jointly reconstruct the child haplotype."""
+    from corticall_tpu import evaluation as ev
+    rng = np.random.default_rng(71)
+    parent = _genome(rng, 2000)
+    pos, L = 900, 6
+    old = parent[pos:pos + L]
+    alt = "".join("ACGT"[("ACGT".index(c) + 2) % 4] for c in old)
+    child = parent[:pos] + alt + parent[pos + L:]
+    variants, _, _ = run_caller(child, parent, k=47)
+    calls = [{"chrom": v.chrom, "pos": v.start, "ref": v.alleles[0],
+              "alt": v.alleles[1], "info": {}} for v in variants
+             if not v.is_symbolic()]
+    truth = [{"chrom": "chr1", "pos": pos + 1, "ref": old, "alt": alt,
+              "info": {"TYPE": "MNP"}}]
+    venn = ev.evaluate_calls(truth, calls, {"chr1": parent}, 47,
+                             combine_window=100)
+    assert venn["tp"] == 1
+
+
+def test_call_inversion():
+    rng = np.random.default_rng(29)
+    parent = _genome(rng, 2000)
+    pos, L = 1000, 60
+    inv = km.revcomp(parent[pos:pos + L])
+    child = parent[:pos] + inv + parent[pos + L:]
+    variants, _, _ = run_caller(child, parent, k=31)
+    assert variants, "inversion produced no calls"
+    # the inverted haplotype must be recoverable from the emitted calls
+    from corticall_tpu import evaluation as ev
+    calls = [{"chrom": v.chrom, "pos": v.start, "ref": v.alleles[0],
+              "alt": v.alleles[1], "info": {}} for v in variants
+             if not v.is_symbolic()]
+    truth = [{"chrom": "chr1", "pos": pos + 1, "ref": parent[pos:pos + L],
+              "alt": inv, "info": {"TYPE": "INV"}}]
+    venn = ev.evaluate_calls(truth, calls, {"chr1": parent}, 31,
+                             combine_window=200)
+    got_symbolic = any(v.is_symbolic() for v in variants)
+    assert venn["tp"] == 1 or got_symbolic
+
+
+def test_call_multiple_variants_one_chromosome():
+    rng = np.random.default_rng(31)
+    parent = _genome(rng, 4000)
+    p1, p2 = 1000, 3000
+    a1 = "ACGT"[("ACGT".index(parent[p1]) + 1) % 4]
+    ins = "TTGACAG"
+    child = (parent[:p1] + a1 + parent[p1 + 1:p2] + ins + parent[p2:])
+    variants, _, _ = run_caller(child, parent, k=31)
+    snps = [v for v in variants if v.is_snp()]
+    assert any(v.start == p1 + 1 and v.alleles[1] == a1 for v in snps)
+    indels = [v for v in variants if not v.is_symbolic()
+              and len(v.alleles[1]) - len(v.alleles[0]) == len(ins)]
+    assert indels, "insertion missing"
