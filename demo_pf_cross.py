@@ -121,18 +121,18 @@ def main():
                     if any(matches(tv, cv) for cv in variants))
 
     # the WDL's actual concordance metric: alt-haplotype kmer-Venn overlap
-    # (EvaluateAccuracy / ComputeVenn, Simulate.wdl:1209-1330), scoped per
-    # background parent since mom/dad share chromosome names
+    # (EvaluateAccuracy / ComputeVenn, Simulate.wdl:1209-1330).  The caller
+    # may anchor a call to either parent; in this simulation the parents
+    # differ only by SNPs (equal coordinates), so rows are evaluated in a
+    # single shared coordinate frame (mom's sequences)
     from corticall_tpu import evaluation as ev
 
     def vrow(v):
-        back = v.get_attr("BACKGROUND") or ""
-        return {"chrom": f"{back}:{v.chrom}", "pos": v.start,
+        return {"chrom": v.chrom, "pos": v.start,
                 "ref": v.alleles[0], "alt": v.alleles[1],
                 "info": {"TYPE": v.get_attr("TYPE", "UNK")}}
 
-    ref_seqs = {f"mom:{c}": s for c, s in mom.items()}
-    ref_seqs.update({f"dad:{c}": s for c, s in dad.items()})
+    ref_seqs = dict(mom)
     venn = ev.evaluate_calls(
         [vrow(tv) for tv in truth],
         [vrow(cv) for cv in variants if not cv.is_symbolic()],
