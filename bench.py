@@ -74,10 +74,12 @@ def main():
     t = int(os.environ.get("BENCH_STEPS", "256"))
 
     g, genome = build_bench_graph(k, n_bases)
-    # bucketized two-choice table: every lookup is ONE stacked gather of the
-    # key's two candidate buckets — no probe loop, no data-dependent rounds
-    # (ops/cuckoo.py); B=256k saturates the latency-bound gather pipeline
-    ct = ck.build_cuckoo(g.kmers, g.edges[:, 0])
+    # primary-biased narrow-bucket cuckoo table: TPU gathers are row-rate
+    # bound, so the walk kernel reads ONE 8-word bucket row per step and only
+    # the ~10% of steps whose key lives in its secondary bucket spend a second
+    # speculative iteration (ops/cuckoo.py build_walk_table/walk_forward_spec);
+    # B=256k saturates the latency-bound gather pipeline
+    ct = ck.build_walk_table(g.kmers, g.edges[:, 0])
     buckets = jnp.asarray(ct.buckets)
 
     rng = np.random.default_rng(11)
@@ -85,16 +87,17 @@ def main():
     seed_strs = [genome[i:i + k] for i in starts]
     seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(seed_strs), k))
 
-    # warmup / compile
-    out = ck.walk_forward_cuckoo(buckets, seeds, k, t)
-    jax.block_until_ready(out)
+    # warmup / compile (int() forces the device->host sync; block_until_ready
+    # alone does not actually block through the axon tunnel)
+    bases, cycled, steps = ck.walk_forward_spec(buckets, seeds, k, t)
+    int(np.asarray(steps).sum())
 
     n_iters = 5
     t0 = time.perf_counter()
     total_emitted = 0
     for _ in range(n_iters):
-        bases, cycled, steps = ck.walk_forward_cuckoo(buckets, seeds, k, t)
-        total_emitted += int(jax.block_until_ready(steps).sum())
+        bases, cycled, steps = ck.walk_forward_spec(buckets, seeds, k, t)
+        total_emitted += int(np.asarray(steps).sum())
     dt = time.perf_counter() - t0
     device_sps = total_emitted / dt
 

@@ -391,14 +391,14 @@ def _partition_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
     else:
         import jax.numpy as jnp
         from ..ops import cuckoo as cko
-        ct = cko.build_cuckoo(graph.kmers, graph.edges[:, child_color])
+        ct = cko.build_walk_table(graph.kmers, graph.edges[:, child_color])
         buckets = jnp.asarray(ct.buckets)
         chunk = 65536
         for lo in range(0, len(cks), chunk):
             f_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(cks[lo:lo + chunk]), k))
             r_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(rc[lo:lo + chunk]), k))
-            fb, fc, _ = cko.walk_forward_cuckoo(buckets, f_seeds, k, max_walk)
-            rb, rcy, _ = cko.walk_forward_cuckoo(buckets, r_seeds, k, max_walk)
+            fb, fc, _ = cko.walk_forward_spec(buckets, f_seeds, k, max_walk)
+            rb, rcy, _ = cko.walk_forward_spec(buckets, r_seeds, k, max_walk)
             fb, rb = np.asarray(fb).T, np.asarray(rb).T
             fc, rcy = np.asarray(fc), np.asarray(rcy)
             for i in range(fb.shape[0]):

@@ -76,13 +76,13 @@ class DeviceGraph:
 
     def walk_buckets(self, colors) -> jnp.ndarray:
         """Cuckoo walk table for a traversal color set, cached per color set:
-        uint32[NB, 4*(W+1)] bucket rows with the combined edge byte fused into
-        each entry's tag (ops/cuckoo.py) — the one-gather-per-step fast path
-        for batched walks."""
+        uint32[NB, 2*(W+1)] primary-biased bucket rows with the combined edge
+        byte fused into each entry's tag (ops/cuckoo.py build_walk_table) —
+        the one-row-per-step fast path for batched walks (walk_forward_spec)."""
         key = tuple(colors)
         if key not in self._walk_tables:
             from .ops import cuckoo as ck
             edges = np.asarray(self.combined_edges(key))
-            ct = ck.build_cuckoo(np.asarray(self.kmers), edges)
+            ct = ck.build_walk_table(np.asarray(self.kmers), edges)
             self._walk_tables[key] = jnp.asarray(ct.buckets)
         return self._walk_tables[key]

@@ -42,12 +42,14 @@ def _jnp_h2(h: jnp.ndarray) -> jnp.ndarray:
 
 @dataclass
 class CuckooTable:
-    """buckets: uint32[NB, BUCKET_SIZE*(W+1)] — each row holds BUCKET_SIZE
+    """buckets: uint32[NB, bucket_size*(W+1)] — each row holds bucket_size
     interleaved (key words..., tag) entries; tag = 0x80000000 | payload for
     occupied entries, 0 for empty."""
     buckets: np.ndarray
     nb_bits: int
     words: int
+    bucket_size: int = BUCKET_SIZE
+    primary_fraction: float = 0.0  # keys resident in their h1 bucket
 
     @property
     def num_buckets(self) -> int:
@@ -56,17 +58,24 @@ class CuckooTable:
 
 def build_cuckoo(kmers: np.ndarray, payload: np.ndarray,
                  load_factor: float = 0.5,
-                 num_buckets: int | None = None) -> CuckooTable:
+                 num_buckets: int | None = None,
+                 bucket_size: int = BUCKET_SIZE,
+                 primary_bias: bool = False) -> CuckooTable:
     """kmers: uint32[N, W] unique canonical kmers; payload: uint[N] (< 2^31),
     e.g. the combined edge byte for walk tables.  num_buckets (power of two)
-    fixes the table size — used to build per-shard tables at a common size."""
+    fixes the table size — used to build per-shard tables at a common size.
+
+    primary_bias places each key in its h1 bucket whenever it has room (rather
+    than the emptier of the two), so that a speculative first-probe lookup
+    (walk_forward_spec) hits h1 for the vast majority of keys; the achieved
+    fraction is reported in `primary_fraction`."""
     n, w = kmers.shape
     if num_buckets is not None:
         nb = num_buckets
-        assert nb & (nb - 1) == 0 and nb * BUCKET_SIZE >= n
+        assert nb & (nb - 1) == 0 and nb * bucket_size >= n
     else:
         nb = 4
-        while nb * BUCKET_SIZE * load_factor < max(n, 1):
+        while nb * bucket_size * load_factor < max(n, 1):
             nb *= 2
     mask = np.uint32(nb - 1)
 
@@ -82,8 +91,11 @@ def build_cuckoo(kmers: np.ndarray, payload: np.ndarray,
     while pending.size:
         c1 = counts[h1[pending]]
         c2 = counts[h2[pending]]
-        t = np.where(c2 < c1, h2[pending], h1[pending])
-        cap = BUCKET_SIZE - counts[t]
+        if primary_bias:
+            t = np.where(c1 < bucket_size, h1[pending], h2[pending])
+        else:
+            t = np.where(c2 < c1, h2[pending], h1[pending])
+        cap = bucket_size - counts[t]
         # rank pending keys within each proposed bucket; first `cap` win
         order = np.argsort(t, kind="stable")
         ts = t[order]
@@ -109,7 +121,7 @@ def build_cuckoo(kmers: np.ndarray, payload: np.ndarray,
     # a vectorized (bucket, pos) -> key occupancy array keeps this phase
     # O(stragglers), not O(N)
     if pending.size:
-        occ = np.full((nb, BUCKET_SIZE), -1, dtype=np.int64)
+        occ = np.full((nb, bucket_size), -1, dtype=np.int64)
         placed = np.nonzero(bucket_of >= 0)[0]
         occ[bucket_of[placed], pos_of[placed]] = placed
         rng = np.random.default_rng(0)
@@ -118,13 +130,13 @@ def build_cuckoo(kmers: np.ndarray, payload: np.ndarray,
             b = int(h1[key])
             for _ in range(10000):
                 c = int(counts[b])
-                if c < BUCKET_SIZE:
+                if c < bucket_size:
                     occ[b, c] = key
                     bucket_of[key] = b
                     pos_of[key] = c
                     counts[b] += 1
                     break
-                vp = int(rng.integers(0, BUCKET_SIZE))
+                vp = int(rng.integers(0, bucket_size))
                 victim = int(occ[b, vp])
                 occ[b, vp] = key
                 bucket_of[key] = b
@@ -134,24 +146,39 @@ def build_cuckoo(kmers: np.ndarray, payload: np.ndarray,
             else:
                 raise RuntimeError("cuckoo build failed; lower load_factor")
 
-    buckets = np.zeros((nb, BUCKET_SIZE * (w + 1)), dtype=np.uint32)
+    buckets = np.zeros((nb, bucket_size * (w + 1)), dtype=np.uint32)
     col = pos_of * (w + 1)
     rows = bucket_of
     for wi in range(w):
         buckets[rows, col + wi] = kmers[:, wi]
     buckets[rows, col + w] = np.uint32(0x80000000) | payload.astype(np.uint32)
-    return CuckooTable(buckets=buckets, nb_bits=int(nb).bit_length() - 1, words=w)
+    return CuckooTable(buckets=buckets, nb_bits=int(nb).bit_length() - 1,
+                       words=w, bucket_size=bucket_size,
+                       primary_fraction=float((bucket_of == h1).mean()) if n else 1.0)
+
+
+def build_walk_table(kmers: np.ndarray, edges: np.ndarray,
+                     load_factor: float = 0.5) -> CuckooTable:
+    """The preferred table for walk kernels: bucket size 2 (8-word rows — TPU
+    gathers are row-rate-bound, and narrow rows gather ~1.5x faster than the
+    16-word default) built primary-biased so the speculative first probe of
+    walk_forward_spec resolves ~90%+ of steps with a single gathered row."""
+    return build_cuckoo(kmers, edges, load_factor=load_factor,
+                        bucket_size=2, primary_bias=True)
 
 
 def lookup_payload(buckets: jnp.ndarray, canon: jnp.ndarray, w: int) -> jnp.ndarray:
     """One-gather lookup: canon uint32[B, W] canonical kmers -> uint32[B]
-    payload (0 = miss).  Fixed cost: a single [2B]-row gather + compares."""
+    payload (0 = miss).  Fixed cost: a single [2B]-row gather + compares.
+    Bucket size is derived from the row width, so tables of any bucket_size
+    (build_cuckoo / build_walk_table) share this lookup."""
     nb = buckets.shape[0]
+    bs = buckets.shape[1] // (w + 1)
     mask = jnp.uint32(nb - 1)
     h = kj.hash_words(canon)
     idx = jnp.concatenate([h & mask, _jnp_h2(h) & mask]).astype(jnp.int32)
     rows = buckets[idx]                                   # [2B, BS*(W+1)]
-    rows = rows.reshape(2, canon.shape[0], BUCKET_SIZE, w + 1)
+    rows = rows.reshape(2, canon.shape[0], bs, w + 1)
     tag = rows[..., w]                                    # [2, B, BS]
     match = (tag >= jnp.uint32(0x80000000)) & jnp.all(
         rows[..., :w] == canon[None, :, None, :], axis=-1)
@@ -196,3 +223,77 @@ def walk_forward_cuckoo(buckets, seeds, k: int, num_steps: int):
     cycled = jnp.any(cycles, axis=0)
     steps = (bases >= 0).sum(axis=0).astype(jnp.int32)
     return bases, cycled, steps
+
+
+def spec_iters(num_steps: int) -> int:
+    """Scan length for walk_forward_spec: emitted steps plus slack for the
+    speculative second-probe stalls (primary-biased tables stall on <10% of
+    steps; a 25% + 32 margin makes truncation of a capped walk vanishingly
+    rare — and only walks longer than num_steps can be affected at all)."""
+    return num_steps + num_steps // 4 + 32
+
+
+@partial(jax.jit, static_argnames=("k", "num_steps"))
+def walk_forward_spec(buckets, seeds, k: int, num_steps: int):
+    """walk_forward_cuckoo with speculative single-probe lookups.
+
+    TPU gathers are row-rate-bound, so the per-step cost is the number of
+    bucket rows read, not their bytes.  The two-choice lookup always reads
+    both candidate buckets (2 rows/step); here each scan iteration reads ONE
+    row — the h1 bucket first, and only lanes that miss spend a second
+    iteration probing h2 (`probe` flag).  On a primary-biased table
+    (build_walk_table) ~90%+ of steps resolve on the first probe, cutting
+    gathered rows per emitted base to ~1.1.
+
+    Same outputs as walk_forward_cuckoo: (bases int8[T, B] with -1 on stall /
+    ended iterations interleaved — consumers already skip negatives
+    (walk.replay_walk), cycled bool[B], steps int32[B] capped at num_steps).
+    T = spec_iters(num_steps) > num_steps; a walk emits num_steps bases as
+    long as its stall count fits the slack.
+    """
+    w = seeds.shape[1]
+    nb = buckets.shape[0]
+    bs = buckets.shape[1] // (w + 1)
+    mask = jnp.uint32(nb - 1)
+
+    def step(state, _):
+        cur, probe, active, emitcnt, saved, power, lam = state
+        canon, flipped = kj.canonicalize_words(cur, k)
+        h = kj.hash_words(canon)
+        idx = jnp.where(probe, _jnp_h2(h) & mask, h & mask).astype(jnp.int32)
+        rows = buckets[idx].reshape(cur.shape[0], bs, w + 1)
+        tag = rows[..., w]
+        match = (tag >= jnp.uint32(0x80000000)) & jnp.all(
+            rows[..., :w] == canon[:, None, :], axis=-1)
+        found = jnp.any(match, axis=1)
+        e = jnp.max(jnp.where(match, tag & jnp.uint32(0x7FFFFFFF), 0), axis=1)
+
+        next_mask = jnp.where(flipped, e >> 4, e & 0xF).astype(jnp.uint32)
+        n = kj.popcount4(next_mask)
+        base = kj.lowest_set_base(next_mask)
+        nxt = kj.shift_append(cur, base.astype(jnp.uint32), k)
+
+        single = found & (n == 1)
+        is_cycle = jnp.all(nxt == saved, axis=-1) & single & active
+        advance = active & single & ~is_cycle & (emitcnt < num_steps)
+        stall = active & ~found & ~probe
+        emitted = jnp.where(advance, base, -1).astype(jnp.int8)
+
+        teleport = (power == lam) & advance
+        saved = jnp.where(teleport[:, None], nxt, saved)
+        power = jnp.where(teleport, power * 2, power)
+        lam = jnp.where(teleport, 0, lam)
+        lam = jnp.where(advance, lam + 1, lam)
+
+        cur = jnp.where(advance[:, None], nxt, cur)
+        return (cur, stall, advance | stall, emitcnt + advance.astype(jnp.int32),
+                saved, power, lam), (emitted, is_cycle)
+
+    b = seeds.shape[0]
+    init = (seeds, jnp.zeros(b, dtype=bool), jnp.ones(b, dtype=bool),
+            jnp.zeros(b, dtype=jnp.int32), seeds,
+            jnp.ones(b, dtype=jnp.int32), jnp.zeros(b, dtype=jnp.int32))
+    (_, _, active, emitcnt, *_), (bases, cycles) = jax.lax.scan(
+        step, init, None, length=spec_iters(num_steps))
+    cycled = jnp.any(cycles, axis=0)
+    return bases, cycled, emitcnt

@@ -199,8 +199,10 @@ def replay_walk(seed: str, bases: np.ndarray, cycled: bool,
 def assemble_batch(dg, colors, seeds: list[str], num_steps: int = 1024) -> list[str]:
     """Bidirectional contig per seed (ContigStopper semantics, no links):
     the device analog of TraversalEngine.assemble (TraversalEngine.java:112-145).
-    Uses the cuckoo one-gather walk table (ops/cuckoo.py), the fastest lookup
-    backend; emitted walks are bit-identical to walk_forward/_fused.
+    Uses the primary-biased narrow-bucket cuckoo table + speculative
+    single-row-per-step walk kernel (ops/cuckoo.py walk_forward_spec), the
+    fastest lookup backend; emitted walks decode bit-identically to
+    walk_forward/_fused (replay_walk skips the interleaved -1 stall slots).
     """
     from . import cuckoo as ck
     k = dg.kmer_size
@@ -209,8 +211,8 @@ def assemble_batch(dg, colors, seeds: list[str], num_steps: int = 1024) -> list[
     rc_strings = [km.revcomp(s) for s in seeds]
     rev_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(rc_strings), k))
 
-    fb, fc, _ = ck.walk_forward_cuckoo(buckets, fwd_seeds, k, num_steps)
-    rb, rc_, _ = ck.walk_forward_cuckoo(buckets, rev_seeds, k, num_steps)
+    fb, fc, _ = ck.walk_forward_spec(buckets, fwd_seeds, k, num_steps)
+    rb, rc_, _ = ck.walk_forward_spec(buckets, rev_seeds, k, num_steps)
     fb = np.asarray(fb).T  # [B, T]
     rb = np.asarray(rb).T
     fc = np.asarray(fc)

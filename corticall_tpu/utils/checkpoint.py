@@ -49,4 +49,4 @@ def resume_walks(dg, colors, state: dict, num_steps: int):
 
     buckets = dg.walk_buckets(colors)
     seeds = jnp.asarray(state["cur"])
-    return ck.walk_forward_cuckoo(buckets, seeds, dg.kmer_size, num_steps)
+    return ck.walk_forward_spec(buckets, seeds, dg.kmer_size, num_steps)

@@ -77,3 +77,75 @@ def test_walk_np_matches_cuckoo():
         np.testing.assert_array_equal(np.asarray(cb), nb)
         np.testing.assert_array_equal(np.asarray(cc), nc)
         np.testing.assert_array_equal(np.asarray(cs), ns)
+
+
+def test_build_walk_table_bs2_places_every_key_primary_biased():
+    g, _, _ = _graph(12, 30000, 21)
+    ct = ck.build_walk_table(g.kmers, g.edges[:, 0])
+    assert ct.bucket_size == 2
+    tags = ct.buckets.reshape(ct.num_buckets, 2, ct.words + 1)[..., -1]
+    assert int((tags >= 0x80000000).sum()) == g.num_records
+    # primary-biased build approaches the balls-in-bins bound (~0.896 @ load .5)
+    assert ct.primary_fraction > 0.85
+
+
+def test_lookup_payload_bucket_size_agnostic():
+    g, genome, rng = _graph(13, 20000, 31)
+    ct2 = ck.build_walk_table(g.kmers, g.edges[:, 0])
+    ct4 = ck.build_cuckoo(g.kmers, g.edges[:, 0])
+    idx = rng.integers(0, g.num_records, size=300)
+    canon = jnp.asarray(g.kmers[idx])
+    p2 = np.asarray(ck.lookup_payload(jnp.asarray(ct2.buckets), canon, ct2.words))
+    p4 = np.asarray(ck.lookup_payload(jnp.asarray(ct4.buckets), canon, ct4.words))
+    np.testing.assert_array_equal(p2, p4)
+    np.testing.assert_array_equal(p2, g.edges[idx, 0].astype(np.uint32))
+
+
+def test_walk_spec_matches_two_probe():
+    """Speculative single-probe walks decode to the same contigs, cycle flags
+    and step counts as the always-two-probe kernel (stall slots are -1 and
+    skipped by replay_walk)."""
+    for k in (15, 47):
+        g, genome, rng = _graph(200 + k, 30000, k)
+        ct = ck.build_walk_table(g.kmers, g.edges[:, 0])
+        buckets = jnp.asarray(ct.buckets)
+        ct4 = ck.build_cuckoo(g.kmers, g.edges[:, 0])
+        b4 = jnp.asarray(ct4.buckets)
+        starts = rng.integers(0, 30000 - k, size=96)
+        seed_strs = [genome[i:i + k] for i in starts]
+        seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(seed_strs), k))
+        sb, sc, ss = ck.walk_forward_spec(buckets, seeds, k, 120)
+        ob, oc, os_ = ck.walk_forward_cuckoo(b4, seeds, k, 120)
+        np.testing.assert_array_equal(np.asarray(sc), np.asarray(oc))
+        np.testing.assert_array_equal(np.asarray(ss), np.asarray(os_))
+        sb, ob = np.asarray(sb).T, np.asarray(ob).T
+        for i, s in enumerate(seed_strs):
+            assert (wk.replay_walk(s, sb[i], bool(np.asarray(sc)[i]), 120)
+                    == wk.replay_walk(s, ob[i], bool(np.asarray(oc)[i]), 120))
+
+
+def test_walk_spec_cycle_detection():
+    k = 21
+    rng = np.random.default_rng(3)
+    genome = "".join(rng.choice(list("ACGT"), 600))
+    cyc = genome + genome[:k]  # circular chromosome
+    g = fixtures.build_graph({"s": [cyc]}, k)
+    ct = ck.build_walk_table(g.kmers, g.edges[:, 0])
+    seeds = jnp.asarray(km.pack_codes(km.strings_to_codes([cyc[:k]]), k))
+    sb, sc, ss = ck.walk_forward_spec(jnp.asarray(ct.buckets), seeds, k, 3000)
+    assert bool(np.asarray(sc)[0])
+    ext = wk.replay_walk(cyc[:k], np.asarray(sb).T[0], True, 3000)
+    # reference seen-set semantics: one full lap plus one base (the seed kmer
+    # itself is never in the seen set, so the walk re-enters it once)
+    assert (cyc[:k] + ext) in (genome + genome + genome)
+    assert len(ext) == len(genome) + 1
+
+
+def test_walk_spec_caps_emission_at_num_steps():
+    g, genome, rng = _graph(14, 20000, 31)
+    ct = ck.build_walk_table(g.kmers, g.edges[:, 0])
+    starts = rng.integers(0, 10000, size=32)
+    seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(
+        [genome[i:i + 31] for i in starts]), 31))
+    _, _, ss = ck.walk_forward_spec(jnp.asarray(ct.buckets), seeds, 31, 7)
+    assert int(np.asarray(ss).max()) == 7 and int(np.asarray(ss).min()) >= 0
