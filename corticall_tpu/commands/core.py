@@ -397,10 +397,9 @@ def _partition_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
         for lo in range(0, len(cks), chunk):
             f_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(cks[lo:lo + chunk]), k))
             r_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(rc[lo:lo + chunk]), k))
-            fb, fc, _ = cko.walk_forward_spec(buckets, f_seeds, k, max_walk)
-            rb, rcy, _ = cko.walk_forward_spec(buckets, r_seeds, k, max_walk)
-            fb, rb = np.asarray(fb).T, np.asarray(rb).T
-            fc, rcy = np.asarray(fc), np.asarray(rcy)
+            fb, fc, _ = cko.walk_forward_spec_chunked(buckets, f_seeds, k, max_walk)
+            rb, rcy, _ = cko.walk_forward_spec_chunked(buckets, r_seeds, k, max_walk)
+            fb, rb = fb.T, rb.T
             for i in range(fb.shape[0]):
                 s = cks[lo + i]
                 fwd_ext = wk.replay_walk(s, fb[i], bool(fc[i]), max_walk)

@@ -233,31 +233,14 @@ def spec_iters(num_steps: int) -> int:
     return num_steps + num_steps // 4 + 32
 
 
-@partial(jax.jit, static_argnames=("k", "num_steps"))
-def walk_forward_spec(buckets, seeds, k: int, num_steps: int):
-    """walk_forward_cuckoo with speculative single-probe lookups.
-
-    TPU gathers are row-rate-bound, so the per-step cost is the number of
-    bucket rows read, not their bytes.  The two-choice lookup always reads
-    both candidate buckets (2 rows/step); here each scan iteration reads ONE
-    row — the h1 bucket first, and only lanes that miss spend a second
-    iteration probing h2 (`probe` flag).  On a primary-biased table
-    (build_walk_table) ~90%+ of steps resolve on the first probe, cutting
-    gathered rows per emitted base to ~1.1.
-
-    Same outputs as walk_forward_cuckoo: (bases int8[T, B] with -1 on stall /
-    ended iterations interleaved — consumers already skip negatives
-    (walk.replay_walk), cycled bool[B], steps int32[B] capped at num_steps).
-    T = spec_iters(num_steps) > num_steps; a walk emits num_steps bases as
-    long as its stall count fits the slack.
-    """
-    w = seeds.shape[1]
-    nb = buckets.shape[0]
-    bs = buckets.shape[1] // (w + 1)
-    mask = jnp.uint32(nb - 1)
+def _spec_step_fn(buckets, k: int, num_steps: int, bs: int, mask):
+    """One speculative walk iteration (shared by the one-shot scan kernel and
+    the chunked early-exit driver).  State: (cur, probe, active, emitcnt,
+    cycled, saved, power, lam)."""
+    w = buckets.shape[1] // bs - 1
 
     def step(state, _):
-        cur, probe, active, emitcnt, saved, power, lam = state
+        cur, probe, active, emitcnt, cycled, saved, power, lam = state
         canon, flipped = kj.canonicalize_words(cur, k)
         h = kj.hash_words(canon)
         idx = jnp.where(probe, _jnp_h2(h) & mask, h & mask).astype(jnp.int32)
@@ -287,13 +270,79 @@ def walk_forward_spec(buckets, seeds, k: int, num_steps: int):
 
         cur = jnp.where(advance[:, None], nxt, cur)
         return (cur, stall, advance | stall, emitcnt + advance.astype(jnp.int32),
-                saved, power, lam), (emitted, is_cycle)
+                cycled | is_cycle, saved, power, lam), emitted
 
+    return step
+
+
+def _spec_init(seeds):
     b = seeds.shape[0]
-    init = (seeds, jnp.zeros(b, dtype=bool), jnp.ones(b, dtype=bool),
-            jnp.zeros(b, dtype=jnp.int32), seeds,
+    return (seeds, jnp.zeros(b, dtype=bool), jnp.ones(b, dtype=bool),
+            jnp.zeros(b, dtype=jnp.int32), jnp.zeros(b, dtype=bool), seeds,
             jnp.ones(b, dtype=jnp.int32), jnp.zeros(b, dtype=jnp.int32))
-    (_, _, active, emitcnt, *_), (bases, cycles) = jax.lax.scan(
-        step, init, None, length=spec_iters(num_steps))
-    cycled = jnp.any(cycles, axis=0)
+
+
+@partial(jax.jit, static_argnames=("k", "num_steps"))
+def walk_forward_spec(buckets, seeds, k: int, num_steps: int):
+    """walk_forward_cuckoo with speculative single-probe lookups.
+
+    TPU gathers are row-rate-bound, so the per-step cost is the number of
+    bucket rows read, not their bytes.  The two-choice lookup always reads
+    both candidate buckets (2 rows/step); here each scan iteration reads ONE
+    row — the h1 bucket first, and only lanes that miss spend a second
+    iteration probing h2 (`probe` flag).  On a primary-biased table
+    (build_walk_table) ~90%+ of steps resolve on the first probe, cutting
+    gathered rows per emitted base to ~1.1.
+
+    Same outputs as walk_forward_cuckoo: (bases int8[T, B] with -1 on stall /
+    ended iterations interleaved — consumers already skip negatives
+    (walk.replay_walk), cycled bool[B], steps int32[B] capped at num_steps).
+    T = spec_iters(num_steps) > num_steps; a walk emits num_steps bases as
+    long as its stall count fits the slack.
+    """
+    w = seeds.shape[1]
+    bs = buckets.shape[1] // (w + 1)
+    mask = jnp.uint32(buckets.shape[0] - 1)
+    step = _spec_step_fn(buckets, k, num_steps, bs, mask)
+    (_, _, _, emitcnt, cycled, *_), bases = jax.lax.scan(
+        step, _spec_init(seeds), None, length=spec_iters(num_steps))
     return bases, cycled, emitcnt
+
+
+@partial(jax.jit, static_argnames=("k", "num_steps", "chunk_len"))
+def _spec_chunk(buckets, state, k: int, num_steps: int, chunk_len: int):
+    w = state[0].shape[1]
+    bs = buckets.shape[1] // (w + 1)
+    mask = jnp.uint32(buckets.shape[0] - 1)
+    step = _spec_step_fn(buckets, k, num_steps, bs, mask)
+    state, bases = jax.lax.scan(step, state, None, length=chunk_len)
+    return state, bases, state[2].any()
+
+
+def walk_forward_spec_chunked(buckets, seeds, k: int, num_steps: int,
+                              chunk: int = 256):
+    """walk_forward_spec with host-checked early exit between device chunks.
+
+    Production walks run under a large safety cap (Partition defaults to a
+    40 kb contig bound) but most walks die at their first junction, so a
+    fixed-length scan wastes almost all its iterations on dead lanes.  This
+    driver runs the same iteration in `chunk`-length device scans and stops
+    as soon as no lane is active (one scalar sync per chunk).  Returns the
+    same (bases [T, B], cycled, steps) with T <= spec_iters(num_steps)
+    truncated at the chunk where the last walk ended.
+    """
+    state = _spec_init(seeds)
+    total = spec_iters(num_steps)
+    out = []
+    done = 0
+    while done < total:
+        length = min(chunk, total - done)
+        state, bases, any_active = _spec_chunk(buckets, state, k, num_steps,
+                                               length)
+        out.append(np.asarray(bases))
+        done += length
+        if not bool(np.asarray(any_active)):
+            break
+    cycled, emitcnt = state[4], state[3]
+    return (np.concatenate(out, axis=0), np.asarray(cycled),
+            np.asarray(emitcnt))

@@ -211,12 +211,11 @@ def assemble_batch(dg, colors, seeds: list[str], num_steps: int = 1024) -> list[
     rc_strings = [km.revcomp(s) for s in seeds]
     rev_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(rc_strings), k))
 
-    fb, fc, _ = ck.walk_forward_spec(buckets, fwd_seeds, k, num_steps)
-    rb, rc_, _ = ck.walk_forward_spec(buckets, rev_seeds, k, num_steps)
-    fb = np.asarray(fb).T  # [B, T]
-    rb = np.asarray(rb).T
-    fc = np.asarray(fc)
-    rc_c = np.asarray(rc_)
+    fb, fc, _ = ck.walk_forward_spec_chunked(buckets, fwd_seeds, k, num_steps)
+    rb, rc_, _ = ck.walk_forward_spec_chunked(buckets, rev_seeds, k, num_steps)
+    fb = fb.T  # [B, T]
+    rb = rb.T
+    rc_c = rc_
 
     out = []
     for i, seed in enumerate(seeds):

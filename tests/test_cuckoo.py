@@ -149,3 +149,24 @@ def test_walk_spec_caps_emission_at_num_steps():
         [genome[i:i + 31] for i in starts]), 31))
     _, _, ss = ck.walk_forward_spec(jnp.asarray(ct.buckets), seeds, 31, 7)
     assert int(np.asarray(ss).max()) == 7 and int(np.asarray(ss).min()) >= 0
+
+
+def test_walk_spec_chunked_matches_one_shot():
+    g, genome, rng = _graph(15, 25000, 31)
+    ct = ck.build_walk_table(g.kmers, g.edges[:, 0])
+    buckets = jnp.asarray(ct.buckets)
+    starts = rng.integers(0, 25000 - 31, size=64)
+    seed_strs = [genome[i:i + 31] for i in starts]
+    seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(seed_strs), 31))
+    ob, oc, os_ = ck.walk_forward_spec(buckets, seeds, 31, 300)
+    cb, cc, cs = ck.walk_forward_spec_chunked(buckets, seeds, 31, 300, chunk=37)
+    np.testing.assert_array_equal(np.asarray(oc), cc)
+    np.testing.assert_array_equal(np.asarray(os_), cs)
+    ob = np.asarray(ob).T
+    cbt = cb.T
+    for i, s in enumerate(seed_strs):
+        assert (wk.replay_walk(s, ob[i], bool(np.asarray(oc)[i]), 300)
+                == wk.replay_walk(s, cbt[i], bool(cc[i]), 300))
+    # early exit engaged: the emitted stream is shorter than the full scan
+    # whenever all walks die before the cap
+    assert cb.shape[0] <= ck.spec_iters(300)
