@@ -135,12 +135,16 @@ class IndexedReference:
             if len(seq) < SEED_K:
                 continue
             codes = km.string_to_codes_permissive(seq)
-            w = np.lib.stride_tricks.sliding_window_view(codes, SEED_K)
-            valid = (w < 4).all(axis=1)
-            vals = np.zeros(w.shape[0], dtype=np.uint32)
+            m = len(codes) - SEED_K + 1
+            vals = np.zeros(m, dtype=np.uint32)
             for j in range(SEED_K):
-                vals = (vals << np.uint32(2)) | w[:, j].astype(np.uint32)
-            idx = np.nonzero(valid)[0]
+                # contiguous slice per position beats a strided window view
+                vals = (vals << np.uint32(2)) | codes[j:j + m].astype(np.uint32)
+            # window valid iff it contains no non-ACGT code: O(n) via prefix
+            # sums instead of the O(n*K) all-over-window reduction
+            bad = np.zeros(len(codes) + 1, dtype=np.int32)
+            np.cumsum(codes >= 4, out=bad[1:])
+            idx = np.nonzero(bad[SEED_K:] == bad[:m])[0]
             packs.append(vals[idx])
             contigs.append(np.full(len(idx), ci, dtype=np.int32))
             positions.append(idx.astype(np.int32))
