@@ -34,19 +34,42 @@ def join(graphs: list) -> gr.CortexGraph:
         if g.kmer_size != k:
             raise ValueError(f"kmer size mismatch: {g.kmer_size} != {k}")
 
-    # each graph's keys are already sorted (record-order invariant), so an
-    # adaptive stable sort merges the runs in near-linear time (~5x np.unique)
+    total_colors = sum(g.num_colors for g in graphs)
+    colors: list[ctxio.CtxColor] = []
+
+    from .. import native as nat
+    merged = nat.merge_runs_native([g.kmers for g in graphs])
+    if merged is not None:
+        # native k-way merge of the already-sorted runs: O(total) with the
+        # per-key union index returned, so payload columns scatter directly
+        kmers, idx_all = merged
+        n = len(kmers)
+        cov = np.zeros((n, total_colors), dtype=np.uint32)
+        edges = np.zeros((n, total_colors), dtype=np.uint8)
+        ac = ofs = 0
+        for g in graphs:
+            idx = idx_all[ofs:ofs + g.num_records]
+            ofs += g.num_records
+            cov[idx, ac:ac + g.num_colors] = g.coverages
+            edges[idx, ac:ac + g.num_colors] = g.edges
+            colors.extend(g.header.colors)
+            ac += g.num_colors
+        uniq = km.words_to_bytes_be(kmers, k)
+        header = ctxio.CtxHeader(6, k, km.containers_per_kmer(k), list(colors))
+        return gr.CortexGraph(ctxio.CtxData(header, kmers, cov, edges, uniq))
+
+    # numpy fallback: each graph's keys are already sorted (record-order
+    # invariant), so an adaptive stable sort merges the runs in near-linear
+    # time (~5x np.unique)
     all_keys = np.concatenate([g.data.kmer_bytes for g in graphs])
     srt = np.sort(all_keys, kind="stable")
     keep = np.ones(len(srt), dtype=bool)
     keep[1:] = srt[1:] != srt[:-1]
     uniq = srt[keep]
     n = len(uniq)
-    total_colors = sum(g.num_colors for g in graphs)
 
     cov = np.zeros((n, total_colors), dtype=np.uint32)
     edges = np.zeros((n, total_colors), dtype=np.uint8)
-    colors: list[ctxio.CtxColor] = []
     ac = 0
     for g in graphs:
         idx = np.searchsorted(uniq, g.data.kmer_bytes)
@@ -376,13 +399,20 @@ def _partition_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
     rc = [km.revcomp(s) for s in cks]
     contigs: dict = {}
     if len(cks) <= small_batch:
-        # small batches: the vectorized numpy twin beats any XLA compile
-        # (identical output stream; ops/walk_np.py)
-        from ..ops import walk_np as wnp
-        fb, fc, _ = wnp.walk_forward_np(
-            graph, [child_color], km.strings_to_codes(cks), max_walk)
-        rb, rcy, _ = wnp.walk_forward_np(
-            graph, [child_color], km.strings_to_codes(rc), max_walk)
+        # small batches: a host walk beats any XLA compile.  The C++ core
+        # (native.WalkTableNative, ~50M steps/s) when available, else the
+        # vectorized numpy twin — identical output streams (ops/walk_np.py)
+        from .. import native as nat
+        if nat.available():
+            wt = nat.WalkTableNative(graph.kmers, graph.edges[:, child_color], k)
+            fb, fc, _ = wt.walk(km.pack_codes(km.strings_to_codes(cks), k), max_walk)
+            rb, rcy, _ = wt.walk(km.pack_codes(km.strings_to_codes(rc), k), max_walk)
+        else:
+            from ..ops import walk_np as wnp
+            fb, fc, _ = wnp.walk_forward_np(
+                graph, [child_color], km.strings_to_codes(cks), max_walk)
+            rb, rcy, _ = wnp.walk_forward_np(
+                graph, [child_color], km.strings_to_codes(rc), max_walk)
         fb, rb = fb.T, rb.T
         for i, s in enumerate(cks):
             fwd_ext = wk.replay_walk(s, fb[i], bool(fc[i]), max_walk)

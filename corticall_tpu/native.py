@@ -57,6 +57,24 @@ def get_lib():
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
     ]
     lib.ct_free.argtypes = [ctypes.c_void_p]
+    _u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.ct_merge_runs.restype = ctypes.c_int64
+    lib.ct_merge_runs.argtypes = [
+        _u64p, _u64p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(_u64p), ctypes.POINTER(_u64p),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+    ]
+    lib.ct_walk_table_build.restype = ctypes.c_void_p
+    lib.ct_walk_table_build.argtypes = [
+        _u64p, _u64p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.c_int32,
+    ]
+    lib.ct_walk_table_free.argtypes = [ctypes.c_void_p]
+    lib.ct_walk.argtypes = [
+        ctypes.c_void_p, _u64p, _u64p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     _f64 = ctypes.POINTER(ctypes.c_double)
     _i8 = ctypes.POINTER(ctypes.c_int8)
     lib.ct_gotoh_fill.restype = ctypes.c_int32
@@ -149,3 +167,140 @@ def count_kmers_native(sequences, k: int):
     for i, c in enumerate(cols):
         kmers[:, i] = c
     return kmers, cov_a, im_a, om_a
+
+
+def _words_to_hilo(words: np.ndarray):
+    """uint32[N, W] big-to-little words -> right-aligned (hi, lo) uint64[N]."""
+    n, w = words.shape
+    full = np.zeros((n, 4), dtype=np.uint64)
+    full[:, 4 - w:] = words.astype(np.uint64)
+    hi = (full[:, 0] << np.uint64(32)) | full[:, 1]
+    lo = (full[:, 2] << np.uint64(32)) | full[:, 3]
+    return np.ascontiguousarray(hi), np.ascontiguousarray(lo)
+
+
+def merge_runs_native(key_runs: list):
+    """K-way merge of sorted (hi, lo) key runs.  key_runs: list of uint32[N, W]
+    word matrices, each sorted.  Returns (union_words uint32[U, W],
+    idx int64[total]) mapping each concatenated input key to its union row,
+    or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not key_runs:
+        return None
+    w = key_runs[0].shape[1]
+    his, los = [], []
+    offsets = np.zeros(len(key_runs) + 1, dtype=np.int64)
+    for i, kr in enumerate(key_runs):
+        hi, lo = _words_to_hilo(kr)
+        his.append(hi)
+        los.append(lo)
+        offsets[i + 1] = offsets[i] + len(hi)
+    hi_all = np.concatenate(his) if his else np.zeros(0, np.uint64)
+    lo_all = np.concatenate(los) if los else np.zeros(0, np.uint64)
+
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    ohi, olo, oidx = u64p(), u64p(), i64p()
+    n = lib.ct_merge_runs(
+        hi_all.ctypes.data_as(u64p), lo_all.ctypes.data_as(u64p),
+        offsets.ctypes.data_as(i64p), len(key_runs),
+        ctypes.byref(ohi), ctypes.byref(olo), ctypes.byref(oidx))
+    if n < 0:
+        return None
+
+    def grab(ptr, ctype, dtype, count):
+        if not count:
+            return np.zeros(0, dtype)
+        buf = (ctype * count).from_address(
+            ctypes.cast(ptr, ctypes.c_void_p).value)
+        return np.frombuffer(buf, dtype=dtype).copy()
+
+    try:
+        uhi = grab(ohi, ctypes.c_uint64, np.uint64, n)
+        ulo = grab(olo, ctypes.c_uint64, np.uint64, n)
+        idx = grab(oidx, ctypes.c_int64, np.int64, int(offsets[-1]))
+    finally:
+        for p in (ohi, olo, oidx):
+            lib.ct_free(p)
+
+    full = np.empty((n, 4), dtype=np.uint32)
+    full[:, 0] = (uhi >> np.uint64(32)).astype(np.uint32)
+    full[:, 1] = (uhi & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    full[:, 2] = (ulo >> np.uint64(32)).astype(np.uint32)
+    full[:, 3] = (ulo & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return np.ascontiguousarray(full[:, 4 - w:]), idx
+
+
+def walk_forward_host(graph_kmers: np.ndarray, edges_combined: np.ndarray,
+                      seeds_words: np.ndarray, k: int, max_steps: int):
+    """Batched host walks with exact device-kernel semantics (see ct_walk):
+    returns (bases int8[max_steps, B], cycled bool[B], steps int32[B]) or
+    None when the native library is unavailable.  The fast small-batch path —
+    no XLA compile, ~50M steps/s single-thread — for Partition-style callers."""
+    lib = get_lib()
+    if lib is None or k > 64:
+        return None
+    khi, klo = _words_to_hilo(graph_kmers)
+    shi, slo = _words_to_hilo(seeds_words)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    handle = lib.ct_walk_table_build(
+        khi.ctypes.data_as(u64p), klo.ctypes.data_as(u64p),
+        np.ascontiguousarray(edges_combined, dtype=np.uint8).ctypes.data_as(u8p),
+        len(khi), k)
+    if not handle:
+        return None
+    b = len(shi)
+    bases = np.empty((b, max_steps), dtype=np.int8)
+    cycled = np.zeros(b, dtype=np.uint8)
+    steps = np.zeros(b, dtype=np.int32)
+    try:
+        lib.ct_walk(handle, shi.ctypes.data_as(u64p), slo.ctypes.data_as(u64p),
+                    b, max_steps,
+                    bases.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                    cycled.ctypes.data_as(u8p),
+                    steps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    finally:
+        lib.ct_walk_table_free(handle)
+    return bases.T.copy(), cycled.astype(bool), steps
+
+
+class WalkTableNative:
+    """Reusable native walk table (build once, walk many seed batches)."""
+
+    def __init__(self, graph_kmers: np.ndarray, edges_combined: np.ndarray,
+                 k: int):
+        lib = get_lib()
+        if lib is None or k > 64:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        khi, klo = _words_to_hilo(graph_kmers)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        self._handle = lib.ct_walk_table_build(
+            khi.ctypes.data_as(u64p), klo.ctypes.data_as(u64p),
+            np.ascontiguousarray(edges_combined, dtype=np.uint8)
+            .ctypes.data_as(u8p), len(khi), k)
+        self.k = k
+
+    def walk(self, seeds_words: np.ndarray, max_steps: int):
+        shi, slo = _words_to_hilo(seeds_words)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        b = len(shi)
+        bases = np.empty((b, max_steps), dtype=np.int8)
+        cycled = np.zeros(b, dtype=np.uint8)
+        steps = np.zeros(b, dtype=np.int32)
+        self._lib.ct_walk(
+            self._handle, shi.ctypes.data_as(u64p), slo.ctypes.data_as(u64p),
+            b, max_steps,
+            bases.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            cycled.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            steps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return bases.T.copy(), cycled.astype(bool), steps
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.ct_walk_table_free(self._handle)
+        except Exception:
+            pass

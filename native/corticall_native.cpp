@@ -259,6 +259,251 @@ int ct_gotoh_fill(const char* q, int64_t n, const char* s, int64_t m, int local,
     return 0;
 }
 
+// K-way merge of sorted key runs into the sorted unique union.
+//   hi/lo:    concatenated run keys (each run sorted ascending by (hi, lo))
+//   offsets:  nruns+1 boundaries into hi/lo
+// Outputs (malloc'd, caller frees via ct_free):
+//   out_hi/out_lo: union keys (return value = count)
+//   out_idx:       for every input key (concatenated order) its index in the
+//                  union — the scatter map for per-run payload columns.
+// The linear multi-way merge replaces the host sort in `join` (the reference
+// merges graphs via CortexCollection / Join, CortexCollection.java:34-63):
+// O(total * log(nruns)) with no comparison-sort constant.
+int64_t ct_merge_runs(const uint64_t* hi, const uint64_t* lo,
+                      const int64_t* offsets, int64_t nruns,
+                      uint64_t** out_hi, uint64_t** out_lo,
+                      int64_t** out_idx) {
+    const int64_t total = offsets[nruns];
+    uint64_t* uhi = (uint64_t*)malloc(sizeof(uint64_t) * (total ? total : 1));
+    uint64_t* ulo = (uint64_t*)malloc(sizeof(uint64_t) * (total ? total : 1));
+    int64_t* idx = (int64_t*)malloc(sizeof(int64_t) * (total ? total : 1));
+    if (!uhi || !ulo || !idx) return -1;
+
+    std::vector<int64_t> cur(nruns);
+    for (int64_t r = 0; r < nruns; r++) cur[r] = offsets[r];
+
+    // binary heap of (key, run); run index breaks ties so equal keys pop in
+    // run order (irrelevant to the result, deterministic regardless)
+    struct Node { uint64_t hi, lo; int64_t run; };
+    auto node_gt = [](const Node& a, const Node& b) {
+        if (a.hi != b.hi) return a.hi > b.hi;
+        if (a.lo != b.lo) return a.lo > b.lo;
+        return a.run > b.run;
+    };
+    std::vector<Node> heap;
+    heap.reserve(nruns);
+    for (int64_t r = 0; r < nruns; r++)
+        if (cur[r] < offsets[r + 1])
+            heap.push_back({hi[cur[r]], lo[cur[r]], r});
+    std::make_heap(heap.begin(), heap.end(), node_gt);
+
+    int64_t n = 0;
+    bool have_prev = false;
+    uint64_t phi = 0, plo = 0;
+    while (!heap.empty()) {
+        std::pop_heap(heap.begin(), heap.end(), node_gt);
+        Node t = heap.back();
+        heap.pop_back();
+        if (!have_prev || t.hi != phi || t.lo != plo) {
+            uhi[n] = t.hi;
+            ulo[n] = t.lo;
+            phi = t.hi; plo = t.lo;
+            have_prev = true;
+            n++;
+        }
+        idx[cur[t.run]] = n - 1;
+        cur[t.run]++;
+        if (cur[t.run] < offsets[t.run + 1]) {
+            heap.push_back({hi[cur[t.run]], lo[cur[t.run]], t.run});
+            std::push_heap(heap.begin(), heap.end(), node_gt);
+        }
+    }
+    *out_hi = uhi;
+    *out_lo = ulo;
+    *out_idx = idx;
+    return n;
+}
+
+// ---------------------------------------------------------------------------
+// Batched de Bruijn walks over an open-addressing (canonical kmer -> edge
+// byte) table: the host twin of ops/cuckoo.py walk_forward_spec with the
+// exact device semantics (single-successor advance, Brent cycle flagging,
+// -1 padding) so walk.replay_walk decodes both streams identically.
+// Replaces the one-vertex-at-a-time reference cursor
+// (TraversalEngine.java:241-319 over CortexGraph.findRecord binary search).
+
+struct WalkSlot {           // one cache line covers ~2.6 slots: a probe is
+    uint64_t hi, lo;        // one memory access, not four (hi/lo/edge/used
+    uint8_t edge, used;     // were separate arrays before)
+    uint8_t pad[6];
+};
+
+struct WalkTable {
+    std::vector<WalkSlot> slots;
+    uint64_t mask;
+    int32_t k;
+};
+
+namespace {
+
+inline uint64_t mix64(uint64_t x) {
+    x ^= x >> 33; x *= 0xFF51AFD7ED558CCDULL;
+    x ^= x >> 33; x *= 0xC4CEB9FE1A85EC53ULL;
+    x ^= x >> 33;
+    return x;
+}
+
+}  // namespace
+
+void* ct_walk_table_build(const uint64_t* khi, const uint64_t* klo,
+                          const uint8_t* edges, int64_t n, int32_t k) {
+    WalkTable* t = new WalkTable();
+    uint64_t cap = 16;
+    while (cap < (uint64_t)(n * 2 + 1)) cap <<= 1;
+    t->slots.assign(cap, WalkSlot{0, 0, 0, 0, {0}});
+    t->mask = cap - 1;
+    t->k = k;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = mix64(khi[i] ^ mix64(klo[i])) & t->mask;
+        while (t->slots[h].used) h = (h + 1) & t->mask;
+        WalkSlot& s = t->slots[h];
+        s.used = 1;
+        s.hi = khi[i];
+        s.lo = klo[i];
+        s.edge = edges[i];
+    }
+    return t;
+}
+
+void ct_walk_table_free(void* p) { delete (WalkTable*)p; }
+
+void ct_walk(void* table, const uint64_t* seed_hi, const uint64_t* seed_lo,
+             int64_t b, int32_t max_steps,
+             int8_t* out_bases /* [b * max_steps] */, uint8_t* out_cycled,
+             int32_t* out_steps) {
+    const WalkTable* t = (const WalkTable*)table;
+    const int32_t k = t->k;
+    const int shift_top = 2 * (k - 1);
+    const bool one_word = k <= 32;
+    const uint64_t lo_mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    const uint64_t hi_mask = (k <= 32) ? 0ULL
+                            : ((k == 64) ? ~0ULL : ((1ULL << (2 * (k - 32))) - 1));
+
+    // Walks advance in interleaved blocks so the BW probe loads per round
+    // are independent — the out-of-order window overlaps their cache misses,
+    // where a per-walk loop would serialize one miss per step.
+    constexpr int BW = 16;
+    struct WState {
+        uint64_t fhi, flo, rhi, rlo, saved_hi, saved_lo;
+        int64_t power, lam;
+        int32_t steps;
+        uint8_t cycled, done;
+    };
+
+    for (int64_t blk = 0; blk < b; blk += BW) {
+        const int nw = (int)(b - blk < BW ? b - blk : BW);
+        WState st[BW];
+        for (int w = 0; w < nw; w++) {
+            WState& s = st[w];
+            s.fhi = seed_hi[blk + w];
+            s.flo = seed_lo[blk + w];
+            // build the rc of the seed once; afterwards both orientations
+            // update incrementally per step
+            uint64_t rhi = 0, rlo = 0;
+            for (int32_t i = 0; i < k; i++) {
+                const int sh = 2 * i;
+                const uint64_t base =
+                    (sh >= 64 ? (s.fhi >> (sh - 64)) : (s.flo >> sh)) & 3ULL;
+                rhi = (rhi << 2) | (rlo >> 62);
+                rlo = (rlo << 2) | (3 - base);
+            }
+            rhi &= hi_mask;
+            if (one_word) { rlo &= lo_mask; rhi = 0; }
+            s.rhi = rhi; s.rlo = rlo;
+            s.saved_hi = s.fhi; s.saved_lo = s.flo;
+            s.power = 1; s.lam = 0; s.steps = 0; s.cycled = 0; s.done = 0;
+        }
+
+        int remaining = nw;
+        while (remaining > 0) {
+            // phase 1: compute every live walk's probe start (independent)
+            uint64_t hs[BW], chis[BW], clos[BW];
+            bool flip[BW];
+            for (int w = 0; w < nw; w++) {
+                const WState& s = st[w];
+                if (s.done) continue;
+                const bool flipped = one_word ? (s.rlo < s.flo)
+                                   : (s.rhi != s.fhi ? s.rhi < s.fhi
+                                                     : s.rlo < s.flo);
+                chis[w] = flipped ? s.rhi : s.fhi;
+                clos[w] = flipped ? s.rlo : s.flo;
+                flip[w] = flipped;
+                hs[w] = mix64(chis[w] ^ mix64(clos[w])) & t->mask;
+                __builtin_prefetch(&t->slots[hs[w]], 0, 1);
+            }
+            // phase 2: probe + advance
+            for (int w = 0; w < nw; w++) {
+                WState& s = st[w];
+                if (s.done) continue;
+                uint64_t h = hs[w];
+                const uint64_t chi = chis[w], clo = clos[w];
+                uint8_t e = 0;
+                bool found = false;
+                while (t->slots[h].used) {
+                    const WalkSlot& sl = t->slots[h];
+                    if (sl.hi == chi && sl.lo == clo) {
+                        e = sl.edge;
+                        found = true;
+                        break;
+                    }
+                    h = (h + 1) & t->mask;
+                }
+                const uint8_t next_mask = flip[w] ? (e >> 4) : (e & 0xF);
+                if (!found || next_mask == 0 ||
+                    (next_mask & (next_mask - 1))) {
+                    s.done = 1; remaining--; continue;
+                }
+                int base = 0;
+                while (!((next_mask >> base) & 1)) base++;
+                const uint64_t nfhi = ((s.fhi << 2) | (s.flo >> 62)) & hi_mask;
+                uint64_t nflo = (s.flo << 2) | (uint64_t)base;
+                if (one_word) nflo &= lo_mask;
+                const uint64_t nf_hi = one_word ? 0 : nfhi;
+                // Brent: stop (flag cycle, emit nothing) when the successor
+                // is the anchor
+                if (nf_hi == s.saved_hi && nflo == s.saved_lo) {
+                    s.cycled = 1; s.done = 1; remaining--; continue;
+                }
+                uint64_t nrlo = (s.rlo >> 2) | (s.rhi << 62);
+                uint64_t nrhi = s.rhi >> 2;
+                const uint64_t cb = 3 - (uint64_t)base;
+                if (shift_top >= 64) nrhi |= cb << (shift_top - 64);
+                else nrlo |= cb << shift_top;
+                if (one_word) { nrlo &= lo_mask; nrhi = 0; }
+                else { nrhi &= hi_mask; }
+
+                out_bases[(blk + w) * (int64_t)max_steps + s.steps] =
+                    (int8_t)base;
+                s.steps++;
+                s.fhi = nf_hi; s.flo = nflo; s.rhi = nrhi; s.rlo = nrlo;
+                if (s.power == s.lam) {
+                    s.saved_hi = s.fhi; s.saved_lo = s.flo;
+                    s.power *= 2;
+                    s.lam = 0;
+                }
+                s.lam++;
+                if (s.steps >= max_steps) { s.done = 1; remaining--; }
+            }
+        }
+        for (int w = 0; w < nw; w++) {
+            int8_t* bases = out_bases + (blk + w) * (int64_t)max_steps;
+            for (int32_t i = st[w].steps; i < max_steps; i++) bases[i] = -1;
+            out_cycled[blk + w] = st[w].cycled;
+            out_steps[blk + w] = st[w].steps;
+        }
+    }
+}
+
 void ct_free(void* p) { free(p); }
 
 }  // extern "C"
