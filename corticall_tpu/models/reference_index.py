@@ -231,8 +231,16 @@ class IndexedReference:
                     key = (int(ci), negative, diag // 32)
                     hits.setdefault(key, []).append((off, int(p)))
 
-        # rank chains by seed count
-        chains = sorted(hits.items(), key=lambda kv: -len(kv[1]))[:max_chains]
+        # rank chains by seed count and drop weak ones relative to the best
+        # (bwa-mem's chain drop_ratio analog) — spurious 1-2-seed chains from
+        # repeat content would otherwise get extended into gap-riddled local
+        # alignments that can outrank the true placement on reference span
+        chains = sorted(hits.items(), key=lambda kv: -len(kv[1]))
+        if chains:
+            best_seeds = len(chains[0][1])
+            chains = [c for c in chains
+                      if len(c[1]) >= max(1, int(0.25 * best_seeds))]
+        chains = chains[:max_chains]
         alignments = []
         for (ci, negative, _), seeds in chains:
             name = self.names[ci]
@@ -255,6 +263,12 @@ class IndexedReference:
             cigar_ops.append(_rle_cigar(ops))
             if int(i) < len(qs):
                 cigar_ops.append(f"{len(qs) - int(i)}S")
+            # quality gates (bwa-mem reports nothing like these): minimum
+            # score (bwa -T 30 analog) and a loose identity floor — a true
+            # placement even in diverged context has nm/len in the percents,
+            # a spurious-chain extension is mostly edits
+            if score < 30 or nm > 0.3 * max(1, int(i) - i0):
+                continue
             alignments.append(Alignment(
                 contig=name, start=r0 + j0 + 1, end=r0 + int(j), negative=negative,
                 mapq=0, nm=nm, cigar="".join(cigar_ops), read=qs, score=score))

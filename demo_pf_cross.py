@@ -185,6 +185,21 @@ def main():
         "total_pipeline_s": round(sum(v for s, v in stages.items()
                                       if s != "simulate_s"), 2),
     }
+    dump = os.environ.get("PF_DUMP")
+    if dump:
+        detail = {
+            "truth": [{**t, "matched": ti in matched}
+                      for ti, t in enumerate(truth_rows)],
+            "calls": [{"chrom": cv.chrom, "pos": cv.start,
+                       "alleles": list(cv.alleles),
+                       "background": cv.get_attr("BACKGROUND"),
+                       "mapq": cv.get_attr("flankMappingQuality"),
+                       "symbolic": cv.is_symbolic()}
+                      for cv in variants],
+        }
+        with open(dump, "w") as f:
+            json.dump(detail, f, indent=1)
+
     print(json.dumps(out))
 
 
