@@ -355,3 +355,42 @@ def write_tables(result, variants_path, kmers_path):
             f.write("\t".join(str(row[c]) for c in
                               ["index", "numNovel", "kmerIndex", "kmer", "type",
                                "chr", "pos", "old", "new"]) + "\n")
+
+
+def simulate_reads(seqs, coverage: float = 30.0, read_length: int = 150,
+                   error_rate: float = 0.002, seed: int = 0) -> list:
+    """Uniform shotgun reads with substitution errors, random strand.
+
+    The reference pipeline's read simulation lives in its WDL
+    (cromwell/wdl/tasks/PreprocessReads.wdl feeds `mccortex build` real or
+    simulated FASTQs); this generator provides the same role in-framework so
+    the build->clean->thread cycle can be exercised on error-bearing reads.
+    seqs: {name: sequence} or list of sequences.  Fully vectorized: windows
+    are gathered per chromosome, errors applied as masked base shifts, and a
+    random half of the reads is reverse-complemented.
+    """
+    from . import kmer as _km
+    rng = np.random.default_rng(seed)
+    items = seqs.values() if isinstance(seqs, dict) else seqs
+    lut = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    out: list = []
+    for s in items:
+        arr = _km.string_to_codes_permissive(s)
+        n_bases = len(arr)
+        if n_bases < read_length:
+            continue
+        n_reads = int(np.ceil(n_bases * coverage / read_length))
+        starts = rng.integers(0, n_bases - read_length + 1, n_reads)
+        reads = arr[starts[:, None] + np.arange(read_length)]
+        if error_rate > 0:
+            em = rng.random(reads.shape) < error_rate
+            shift = rng.integers(1, 4, reads.shape, dtype=np.int16)
+            reads = np.where(em & (reads < 4),
+                             (reads + shift) % 4, reads).astype(np.uint8)
+        flips = rng.random(n_reads) < 0.5
+        rc = reads[:, ::-1].astype(np.int16)
+        rc = np.where(rc > 3, 4, 3 - rc)
+        reads = np.where(flips[:, None], rc, reads).astype(np.uint8)
+        txt = lut[np.minimum(reads, 4)]
+        out.extend(row.tobytes().decode() for row in txt)
+    return out

@@ -121,3 +121,99 @@ def test_build_native_matches_fixture():
     g1 = bd.build_graph_from_reads(_tile_reads(genome), 21, "s", use_native=True)
     g2 = bd.build_graph_from_reads(_tile_reads(genome), 21, "s", use_native=False)
     assert g1.record_strings() == g2.record_strings()
+
+
+def _links_as_sets(ld):
+    return {ks: {(jr.forward, jr.choices) for jr in recs}
+            for ks, recs in ld.records.items() if recs}
+
+
+def test_thread_reads_matches_build_links_oracle():
+    """Vectorized thread_reads == io.links.build_links on clean reads."""
+    from corticall_tpu.io import links as lk
+    rng = np.random.default_rng(91)
+    k = 11
+    unit = _genome(rng, 60)
+    genome = (_genome(rng, 400) + unit * 3 + _genome(rng, 300)
+              + unit + _genome(rng, 200))
+    g = fixtures.build_graph({"s": [genome]}, k)
+    reads = [genome[i:i + 120] for i in range(0, len(genome) - 120, 37)]
+    want = lk.build_links(g, {"s": reads}, "s")
+    got = bd.thread_reads(g, reads, "s")
+    assert _links_as_sets(got) == _links_as_sets(want)
+
+
+def test_thread_reads_breaks_at_absent_kmers():
+    """A read bridging a kmer absent from the graph must not emit links whose
+    choices span the gap (the graph walk could never follow them)."""
+    rng = np.random.default_rng(92)
+    k = 11
+    unit = _genome(rng, 40)
+    genome = _genome(rng, 200) + unit * 2 + _genome(rng, 200)
+    g = fixtures.build_graph({"s": [genome]}, k)
+    # read with a single error in a non-repetitive region: its kmers around
+    # the error are absent, so threading must treat the two halves
+    # independently
+    pos = 100
+    bad = genome[:pos] + ("A" if genome[pos] != "A" else "C") + genome[pos + 1:]
+    got = bd.thread_reads(g, [bad], "s")
+    # choices must be consistent with links built from the two clean halves
+    from corticall_tpu.io import links as lk
+    want = lk.build_links(g, {"s": [bad[:pos], bad[pos + 1:]]}, "s")
+    got_sets = _links_as_sets(got)
+    want_sets = _links_as_sets(want)
+    for ks, recs in got_sets.items():
+        assert ks in want_sets and recs <= want_sets[ks], ks
+
+
+def test_clean_clips_error_tips_at_scale():
+    rng = np.random.default_rng(93)
+    genome = _genome(rng, 5000)
+    k = 21
+    from corticall_tpu import simulate as sim
+    reads = sim.simulate_reads([genome], coverage=40, read_length=100,
+                               error_rate=0.01, seed=5)
+    g = bd.build_graph_from_reads(reads, k, "s")
+    cleaned = bd.clean_graph(g, min_coverage=4)
+    want = fixtures.build_graph({"s": [genome]}, k)
+    got_ks = {cleaned.kmer_string(i) for i in range(cleaned.num_records)}
+    want_ks = {want.kmer_string(i) for i in range(want.num_records)}
+    # no error chains survive; the genome body is intact
+    extra = got_ks - want_ks
+    assert len(extra) <= 2, f"{len(extra)} error kmers survive"
+    assert len(want_ks - got_ks) <= 3 * k
+
+
+def test_clean_keeps_long_linear_graph():
+    rng = np.random.default_rng(94)
+    genome = _genome(rng, 3000)
+    k = 21
+    g = fixtures.build_graph({"s": [genome]}, k)
+    cleaned = bd.clean_graph(g, min_coverage=1)
+    assert cleaned.num_records == g.num_records  # a long chain is not a tip
+
+
+def test_clean_drops_short_isolated_chain():
+    rng = np.random.default_rng(95)
+    genome = _genome(rng, 2000)
+    k = 21
+    junk = _genome(rng, 30)  # 10 kmers, isolated: both ends free
+    g = fixtures.build_graph({"s": [genome, junk]}, k)
+    cleaned = bd.clean_graph(g, min_coverage=1)
+    want = fixtures.build_graph({"s": [genome]}, k)
+    got_ks = {cleaned.kmer_string(i) for i in range(cleaned.num_records)}
+    want_ks = {want.kmer_string(i) for i in range(want.num_records)}
+    assert got_ks == want_ks
+
+
+def test_simulate_reads_coverage_and_errors():
+    from corticall_tpu import simulate as sim
+    rng = np.random.default_rng(96)
+    genome = _genome(rng, 10000)
+    reads = sim.simulate_reads({"c": genome}, coverage=20, read_length=100,
+                               error_rate=0.0, seed=1)
+    total = sum(len(r) for r in reads)
+    assert abs(total - 20 * len(genome)) < 2 * 100
+    # error-free reads are genome substrings (fwd or rc)
+    for r in reads[:20]:
+        assert r in genome or km.revcomp(r) in genome
