@@ -9,13 +9,18 @@ captures every gap run in a single pass, so no Farrar lazy-F loop is needed.
 Two interchangeable implementations validated against the host Gotoh oracle:
 - `banded_sw_scores` — lax.scan over query rows (any backend; XLA keeps the
   [B, W] carry on-chip).
-- `banded_sw_pallas` — the same recurrence as a Pallas TPU kernel: grid over
-  batch tiles, band rows in VMEM scratch, dynamic-sliced subject windows
-  (a shifted window per row, no gathers), fori_loop over query rows.
-  Validated against the scan twin in interpret mode; in this container the
-  axon remote-compile path stalls on Mosaic compilation of this kernel, so
-  the scan version (9.3 GCUPS on one v5e chip at band 128) is the default
-  production path.
+- `banded_sw_pallas` — the band-window layout as a Pallas kernel.  It does
+  NOT compile on real TPUs: Mosaic rejects dynamic indexing on the lane
+  dimension ("cannot statically prove that index in dimension 1 is a
+  multiple of 128") for both its sliding subject window
+  (`s_ref[:, pl.ds(i, w)]`) and its per-row query fetch (`q_ref[:, i]`).
+  Kept for interpret-mode parity tests only.
+- `sw_pallas` — the Mosaic-compiled production kernel.  Root-cause-shaped
+  layout: lanes = subject positions (static full row, no sliding window),
+  query pre-transposed to [Q, B] so the per-row fetch indexes the sublane
+  dimension (supported), the diagonal is a static one-lane shift, and the
+  horizontal-gap prefix scan is the log-step shift cummax.  Optionally
+  band-masked (identical cells to the scan twin) or full-matrix local SW.
 
 Both return the best local score and its (query, subject) end position;
 cigars for surviving candidates come from the host Gotoh on the banded window.
@@ -64,6 +69,10 @@ def _row_update(h_prev, f_prev, qc_i, s_win, jj, smax, cc, cummax=jax.lax.cummax
     columns of this row's band cells; cc: float iota [B?, W] or [W]."""
     b, w = h_prev.shape
     valid = (jj >= 0) & (jj < smax)
+    # the virtual zero column (jj == -1) must read 0, not NEG: it is the
+    # diagonal feed for next row's j == 0 cells (a local alignment may start
+    # at subject position 0 on any query row)
+    fill = jnp.where(jj == -1, 0.0, NEG)
     sub = jnp.where((qc_i[:, None] == s_win) & (qc_i[:, None] < 4), MATCH, MISMATCH)
 
     neg_col = jnp.full((b, 1), NEG, h_prev.dtype)
@@ -72,14 +81,14 @@ def _row_update(h_prev, f_prev, qc_i, s_win, jj, smax, cc, cummax=jax.lax.cummax
         jnp.concatenate([f_prev[:, 1:], neg_col], axis=1) - GAP_EXTEND,
         shift_up - GAP_OPEN - GAP_EXTEND)
     h = jnp.maximum(jnp.maximum(h_prev + sub, f), 0.0)
-    h = jnp.where(valid, h, NEG)
+    h = jnp.where(valid, h, fill)
 
     # E[c] = max_{t<c}(h[t] - open - (c-t)*ext) = max_t(h[t] + ext*t) - ext*c - open
-    adj = h + GAP_EXTEND * cc
+    adj = jnp.where(valid, h, NEG) + GAP_EXTEND * cc
     run = cummax(adj, axis=1) if cummax is jax.lax.cummax else cummax(adj)
     run_prev = jnp.concatenate([neg_col, run[:, :-1]], axis=1)
     e = run_prev - GAP_EXTEND * cc - GAP_OPEN
-    h = jnp.where(valid, jnp.maximum(jnp.maximum(h, e), 0.0), NEG)
+    h = jnp.where(valid, jnp.maximum(jnp.maximum(h, e), 0.0), fill)
     return h, f
 
 
@@ -200,6 +209,134 @@ def banded_sw_pallas(q_codes, s_codes, band: int = 128, tile: int = 128,
         interpret=interpret,
     )(jnp.asarray(q_codes), jnp.asarray(s_pad))
     return score[:bsz], qe[:bsz], se[:bsz]
+
+
+def _cummax_sublane(x):
+    """Inclusive max-scan along sublanes (axis 0) via log-step shifts."""
+    w, b = x.shape
+    s = 1
+    while s < w:
+        shifted = jnp.concatenate(
+            [jnp.full((s, b), NEG, x.dtype), x[:-s, :]], axis=0)
+        x = jnp.maximum(x, shifted)
+        s *= 2
+    return x
+
+
+def sw_pallas(q_codes, s_codes, band: int | None = None, tile: int = 128,
+              interpret: bool | None = None):
+    """Mosaic-compiled local SW: full-matrix (optionally band-masked).
+
+    q_codes int32[B, QMAX], s_codes int32[B, SMAX] (4 = pad/N).  With band=N
+    the scored cells match banded_sw_scores(band=N) exactly; band=None scores
+    the full matrix.  Returns (score f32[B], q_end i32[B], s_end i32[B]),
+    ends 1-based inclusive.
+
+    Layout (shaped by two Mosaic limits the round-1 kernel hit): batch rides
+    the LANE dimension, subject positions ride SUBLANES.  Dynamic indexing is
+    only ever on the leading (sublane) dim of the transposed query — Mosaic
+    rejects dynamic lane indexing ("cannot statically prove that index in
+    dimension 1 is a multiple of 128") — and the fetched per-row query chars
+    broadcast across sublanes, the one relayout direction Mosaic supports
+    (lane-vector -> sublane-replicated).  Diagonals and the horizontal-gap
+    prefix scan are static one-sublane shifts.
+    """
+    from jax.experimental import pallas as pl
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if tile % 128:
+        raise ValueError("tile must be a multiple of 128 (batch rides lanes)")
+
+    bsz, qmax = q_codes.shape
+    smax = int(s_codes.shape[1])
+    w = ((smax + 7) // 8) * 8                        # sublane multiple
+    half = (band // 2) if band is not None else 0
+    pad_b = (-bsz) % tile
+    if pad_b:
+        q_codes = jnp.concatenate(
+            [q_codes, jnp.full((pad_b, qmax), 4, q_codes.dtype)])
+        s_codes = jnp.concatenate(
+            [s_codes, jnp.full((pad_b, smax), 4, s_codes.dtype)])
+    n = q_codes.shape[0]
+    qt = jnp.asarray(q_codes).T                      # [QMAX, n]
+    st = jnp.concatenate(
+        [jnp.asarray(s_codes),
+         jnp.full((n, w - smax), 4, s_codes.dtype)], axis=1).T   # [W, n]
+
+    def kernel(qt_ref, s_ref, score_ref, qe_ref, se_ref):
+        sub_pos = jax.lax.broadcasted_iota(jnp.int32, (w, tile), 0)
+        cc = sub_pos.astype(jnp.float32)
+        s_col = s_ref[:]                             # [W, tile]
+        valid_s = sub_pos < smax
+
+        def row(i, state):
+            h_prev, f_prev, best, bq, bs = state
+            qc = qt_ref[i, :][None, :]               # [1, tile] -> sublane bcast
+            if band is None:
+                valid = valid_s
+            else:
+                valid = valid_s & (sub_pos >= i - half) & (sub_pos < i + half)
+            match = (qc == s_col) & (qc < 4)
+            sub = jnp.where(match, MATCH, MISMATCH)
+            neg_row = jnp.full((1, tile), NEG)
+            zero_row = jnp.zeros((1, tile))
+            diag = jnp.concatenate([zero_row, h_prev[:-1, :]], axis=0)
+            f = jnp.maximum(f_prev - GAP_EXTEND, h_prev - GAP_OPEN - GAP_EXTEND)
+            h = jnp.maximum(jnp.maximum(diag + sub, f), 0.0)
+            h = jnp.where(valid, h, NEG)
+            adj = h + GAP_EXTEND * cc
+            run = _cummax_sublane(adj)
+            e = (jnp.concatenate([neg_row, run[:-1, :]], axis=0)
+                 - GAP_EXTEND * cc - GAP_OPEN)
+            h = jnp.where(valid, jnp.maximum(jnp.maximum(h, e), 0.0), NEG)
+
+            # keep reductions 2-D ([1, tile]) — 1-D lane vectors trigger
+            # unsupported Mosaic relayouts when re-broadcast
+            row_best = jnp.max(h, axis=0, keepdims=True)
+            # first-match argmax (ties break like jnp.argmax in the twin)
+            row_arg = jnp.min(
+                jnp.where(h == row_best, sub_pos, w), axis=0, keepdims=True)
+            improved = row_best > best
+            best = jnp.where(improved, row_best, best)
+            bq = jnp.where(improved, i + 1, bq)
+            bs = jnp.where(improved, row_arg + 1, bs)
+            return h, f, best, bq, bs
+
+        # data-dependent inits: splat-constant carries get lane-replicated
+        # Mosaic layouts that the loop back-edge cannot relayout to the body
+        # outputs' natural layouts
+        zf = s_col.astype(jnp.float32) * 0.0
+        h0 = jnp.where(valid_s, zf, NEG)
+        f0 = zf + NEG
+        z1 = jnp.max(zf, axis=0, keepdims=True)
+        _, _, best, bq, bs = jax.lax.fori_loop(
+            0, qmax, row,
+            (h0, f0, z1, z1.astype(jnp.int32), z1.astype(jnp.int32)))
+        score_ref[:] = best
+        qe_ref[:] = bq
+        se_ref[:] = bs
+
+    score, qe, se = pl.pallas_call(
+        kernel,
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((qmax, tile), lambda i: (0, i)),
+            pl.BlockSpec((w, tile), lambda i: (0, i)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile), lambda i: (0, i)),
+            pl.BlockSpec((1, tile), lambda i: (0, i)),
+            pl.BlockSpec((1, tile), lambda i: (0, i)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ),
+        interpret=interpret,
+    )(qt, st)
+    return score[0, :bsz], qe[0, :bsz], se[0, :bsz]
 
 
 def codes_batch(strings, width: int) -> np.ndarray:

@@ -74,3 +74,42 @@ def test_banded_end_positions():
     assert float(score[0]) == 100 * 5.0
     assert int(qe[0]) == 100
     assert int(se[0]) == 130
+
+
+def test_zero_column_paths_not_lost():
+    # regression: a local alignment starting at subject position 0 on a query
+    # row > 0 reaches the virtual zero column diagonally; the band-window
+    # layout used to mask that column to -inf and lose the path
+    rng = np.random.default_rng(104)
+    s = _genome(rng, 80)
+    q = "TTTTTT" + s[:40]  # best path starts at (q=6, s=0)
+    qc = swd.codes_batch([q], len(q))
+    sc = swd.codes_batch([s], len(s))
+    score, qe, se = swd.banded_sw_scores(qc, sc, band=128)
+    assert float(score[0]) == 40 * 5.0
+    score2, _, _ = swd.sw_pallas(qc, sc, band=128)
+    assert float(score2[0]) == 40 * 5.0
+
+
+def test_sw_pallas_full_matches_gotoh():
+    rng = np.random.default_rng(105)
+    qs, ss = _cases(rng, 24)
+    qc = swd.codes_batch(qs, max(len(q) for q in qs))
+    sc = swd.codes_batch(ss, max(len(s) for s in ss))
+    score, qe, se = swd.sw_pallas(qc, sc, band=None)
+    np.testing.assert_allclose(np.asarray(score), _oracle_scores(qs, ss),
+                               rtol=0, atol=1e-4)
+
+
+def test_sw_pallas_banded_matches_scan():
+    # random junk pairs stress band edges (best paths drift off-diagonal)
+    rng = np.random.default_rng(106)
+    qn = rng.integers(0, 4, (64, 96)).astype(np.int32)
+    sn = rng.integers(0, 4, (64, 120)).astype(np.int32)
+    for i in range(0, 64, 2):
+        sn[i, :96] = qn[i]
+    s1, q1, e1 = swd.banded_sw_scores(qn, sn, band=64)
+    s2, q2, e2 = swd.sw_pallas(qn, sn, band=64)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(q2), np.asarray(q1))
+    np.testing.assert_array_equal(np.asarray(e2), np.asarray(e1))
