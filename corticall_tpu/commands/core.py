@@ -369,7 +369,8 @@ def find_contamination(graph: gr.CortexGraph, roi: gr.CortexGraph, parents: list
 # ---------------------------------------------------------------------------
 
 def partition(graph: gr.CortexGraph, roi: gr.CortexGraph, links=(),
-              link_novels: bool = False, max_walk: int = 20000) -> list:
+              link_novels: bool = False, max_walk: int = 20000,
+              stats: dict | None = None) -> list:
     """Group novel kmers into partition contigs.  Returns
     [(name_header, contig_sequence), ...] in the reference's emit order.
 
@@ -379,11 +380,109 @@ def partition(graph: gr.CortexGraph, roi: gr.CortexGraph, links=(),
     tractable at Pf scale on a chip.  Contigs are capped at max_walk steps per
     direction (40 kb+ total), far beyond any DNM partition's useful context;
     the reference leaves them unbounded and trims later (TrimPartitions).
-    With links (NovelPartitionStopper) the exact host engine is used.
+
+    With links the walks run on the batched device link kernel
+    (ops/walk_links.py — LinkStore semantics in fixed-capacity per-walk
+    arrays); walks whose link state overflows the device caps are replayed on
+    the exact host engine.  stats (optional dict) receives
+    link_junctions_resolved / overflow_replays counts.  With link_novels
+    (NovelPartitionStopper) the exact host engine is used throughout.
     """
-    if links or link_novels:
-        return _partition_host(graph, roi, links, link_novels)
+    if link_novels:
+        return _partition_host(graph, roi, links, link_novels, max_walk)
+    if links:
+        return _partition_links_device(graph, roi, list(links), max_walk,
+                                       stats)
     return _partition_device(graph, roi, max_walk)
+
+
+def _novel_in_factory(roi: gr.CortexGraph, k: int):
+    """contig -> sorted list of canonical novel kmer strings it contains."""
+    roi_keys = np.sort(km.words_to_bytes_be(roi.kmers, k))
+
+    def novel_in(contig: str) -> list:
+        codes = km.string_to_codes_permissive(contig)
+        if len(codes) < k:
+            return []
+        windows = km.kmerize_codes(codes, k)
+        ok = (windows < 4).all(axis=1)
+        if not ok.any():
+            return []
+        canon, _ = km.canonicalize_codes(windows[ok])
+        keys = km.words_to_bytes_be(km.pack_codes(canon, k), k)
+        i = np.minimum(np.searchsorted(roi_keys, keys), roi_keys.size - 1)
+        hit = roi_keys[i] == keys
+        return km.codes_to_strings(canon[hit])
+
+    return novel_in
+
+
+def _greedy_emit(cks: list, contigs: dict, roi: gr.CortexGraph, k: int) -> list:
+    """The reference's greedy walk assignment + dedup + FASTA emit
+    (Partition.java:169-219, markUsedRois :238-256): iterate novel kmers in
+    sorted order, claim each novel kmer for the longest contig containing it,
+    dedup fwd/rc, emit sorted."""
+    novel_in = _novel_in_factory(roi, k)
+
+    used: dict = {s: None for s in cks}
+    for s in cks:
+        if used[s] is not None:
+            continue
+        contig = contigs[s]
+        for canon in novel_in(contig):
+            if canon in used and (used[canon] is None
+                                  or len(contig) > len(used[canon])):
+                used[canon] = contig
+
+    contig_set: set = set()
+    for s in cks:
+        c = used[s]
+        if c is not None and c not in contig_set and km.revcomp(c) not in contig_set:
+            contig_set.add(c)
+
+    out = []
+    for i, contig in enumerate(sorted(contig_set)):
+        num_novels = len(novel_in(contig))
+        header = f"partition{i} len={len(contig) - k + 1} numNovels={num_novels}"
+        out.append((header, contig))
+    return out
+
+
+def _partition_links_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
+                            links: list, max_walk: int,
+                            stats: dict | None = None) -> list:
+    """Partition with link-assisted walks on device (the production linked
+    configuration; Simulate.wdl threads links before Partition/Call)."""
+    from ..ops import walk_links as wl
+
+    k = graph.kmer_size
+    cks = sorted(roi.kmer_string(i) for i in range(roi.num_records))
+    if not cks:
+        return []
+    child_color = graph.color_for_sample(roi.sample_name(0))
+
+    walker = wl.LinkedWalker(graph, [child_color], links)
+    contig_list, overflow, junctions = walker.assemble(cks, num_steps=max_walk)
+    contigs = dict(zip(cks, contig_list))
+
+    # host-oracle replay for walks whose link state overflowed the device caps
+    n_replay = int(overflow.sum())
+    if n_replay:
+        e = TraversalEngine(TraversalConfig(
+            graph=graph, traversal_colors=[child_color], direction=BOTH,
+            combination=OR, stopping_rule=ContigStopper, rois=roi,
+            links=links, max_branch_length=max_walk))
+        for i in np.nonzero(overflow)[0]:
+            s = cks[int(i)]
+            g = e.dfs(s)
+            w = to_walk(g, s, child_color, graph=graph)
+            contigs[s] = to_contig(w) if w else s
+
+    if stats is not None:
+        stats["link_junctions_resolved"] = int(junctions.sum())
+        stats["overflow_replays"] = n_replay
+        stats["link_records_truncated"] = walker.truncated
+    return _greedy_emit(cks, contigs, roi, k)
 
 
 def _partition_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
@@ -436,48 +535,11 @@ def _partition_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
                 back_ext = wk.replay_walk(rc[lo + i], rb[i], bool(rcy[i]), max_walk)
                 contigs[s] = (km.revcomp(back_ext) if back_ext else "") + s + fwd_ext
 
-    roi_keys = np.sort(km.words_to_bytes_be(roi.kmers, k))
-
-    def novel_in(contig: str) -> list:
-        codes = km.string_to_codes_permissive(contig)
-        if len(codes) < k:
-            return []
-        windows = km.kmerize_codes(codes, k)
-        ok = (windows < 4).all(axis=1)
-        if not ok.any():
-            return []
-        canon, _ = km.canonicalize_codes(windows[ok])
-        keys = km.words_to_bytes_be(km.pack_codes(canon, k), k)
-        i = np.minimum(np.searchsorted(roi_keys, keys), roi_keys.size - 1)
-        hit = roi_keys[i] == keys
-        return km.codes_to_strings(canon[hit])
-
-    used: dict = {s: None for s in cks}
-    for s in cks:
-        if used[s] is not None:
-            continue
-        contig = contigs[s]
-        for canon in novel_in(contig):
-            if canon in used and (used[canon] is None
-                                  or len(contig) > len(used[canon])):
-                used[canon] = contig
-
-    contig_set: set = set()
-    for s in cks:
-        c = used[s]
-        if c is not None and c not in contig_set and km.revcomp(c) not in contig_set:
-            contig_set.add(c)
-
-    out = []
-    for i, contig in enumerate(sorted(contig_set)):
-        num_novels = len(novel_in(contig))
-        header = f"partition{i} len={len(contig) - k + 1} numNovels={num_novels}"
-        out.append((header, contig))
-    return out
+    return _greedy_emit(cks, contigs, roi, k)
 
 
 def _partition_host(graph: gr.CortexGraph, roi: gr.CortexGraph, links,
-                    link_novels: bool) -> list:
+                    link_novels: bool, max_walk: int = 20000) -> list:
     child_color = graph.color_for_sample(roi.sample_name(0))
 
     e = TraversalEngine(TraversalConfig(
@@ -485,6 +547,7 @@ def _partition_host(graph: gr.CortexGraph, roi: gr.CortexGraph, links,
         combination=OR,
         stopping_rule=NovelPartitionStopper if link_novels else ContigStopper,
         rois=roi, links=list(links),
+        max_branch_length=max_walk,
     ))
 
     # used: canonical kmer -> assigned walk (or None), iterated in sorted order

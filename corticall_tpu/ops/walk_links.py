@@ -110,7 +110,8 @@ def walk_links_forward(buckets, edges_combined, link_off, link_choices,
     single-byte gather from edges_combined uint8[N].  link_*: LinkArrays
     fields; seeds: uint32[B, W].
 
-    Returns (bases int8[T, B], overflow bool[B], steps int32[B]).
+    Returns (bases int8[T, B], overflow bool[B], steps int32[B],
+    junctions int32[B] — junction advances resolved by a link choice).
     """
     b = seeds.shape[0]
     w = seeds.shape[1]
@@ -218,7 +219,7 @@ def walk_links_forward(buckets, edges_combined, link_off, link_choices,
                             emitted | jnp.int8(8), emitted)  # bit 3 = store active
         active = advance
         return (cur, active, overflow, el_choices, el_len, el_pos, el_age,
-                el_valid, el_seq, seq_counter, stepno + 1), emitted
+                el_valid, el_seq, seq_counter, stepno + 1), (emitted, take_choice)
 
     init = (
         seeds,
@@ -233,10 +234,11 @@ def walk_links_forward(buckets, edges_combined, link_off, link_choices,
         jnp.zeros(b, jnp.int32),
         jnp.zeros(b, jnp.int32),
     )
-    (_, active, overflow, *_), emitted = jax.lax.scan(
+    (_, active, overflow, *_), (emitted, junc) = jax.lax.scan(
         step, init, None, length=num_steps)
     steps = (emitted >= 0).sum(axis=0).astype(jnp.int32)
-    return emitted, overflow, steps
+    junctions = junc.sum(axis=0).astype(jnp.int32)
+    return emitted, overflow, steps, junctions
 
 
 def decode_linked_walk(seed: str, emitted: np.ndarray,
@@ -269,34 +271,55 @@ def decode_linked_walk(seed: str, emitted: np.ndarray,
     return "".join(out)
 
 
-def assemble_batch_links(dg, graph, colors, links_list, seeds: list,
+class LinkedWalker:
+    """Reusable device state for link-assisted walks: cuckoo table + link CSR
+    built once, then any number of assemble calls (chunked over seeds).
+
+    Construction stays on host numpy (graph.kmers/graph.edges) — no
+    device round-trips, which dominate wall-clock over a remote-chip link."""
+
+    def __init__(self, graph, colors, links_list):
+        self.k = graph.kmer_size
+        kmers = graph.kmers
+        ct = ck.build_cuckoo(kmers,
+                             np.arange(kmers.shape[0], dtype=np.uint32) + 1)
+        edges = np.bitwise_or.reduce(graph.edges[:, list(colors)], axis=1)
+        la = build_link_arrays(graph, links_list)
+        self.args = (jnp.asarray(ct.buckets),
+                     jnp.asarray(edges),
+                     jnp.asarray(la.offsets), jnp.asarray(la.choices),
+                     jnp.asarray(la.lengths), jnp.asarray(la.forward))
+        self.truncated = la.truncated
+
+    def assemble(self, seeds: list, num_steps: int = 1024, chunk: int = 16384):
+        """Bidirectional link-assisted contigs (TraversalEngine.assemble with
+        links).  Returns (contigs, overflow bool[B], junctions int32[B])."""
+        k = self.k
+        contigs: list = []
+        overflow = np.zeros(len(seeds), dtype=bool)
+        junctions = np.zeros(len(seeds), dtype=np.int32)
+        for lo in range(0, len(seeds), chunk):
+            part = seeds[lo:lo + chunk]
+            rc_strs = [km.revcomp(s) for s in part]
+            fwd = jnp.asarray(km.pack_codes(km.strings_to_codes(part), k))
+            rev = jnp.asarray(km.pack_codes(km.strings_to_codes(rc_strs), k))
+            fe, fo, _, fj = walk_links_forward(*self.args, fwd, k, num_steps)
+            re_, ro, _, rj = walk_links_forward(*self.args, rev, k, num_steps)
+            fe = np.asarray(fe).T
+            re_ = np.asarray(re_).T
+            overflow[lo:lo + len(part)] = np.asarray(fo) | np.asarray(ro)
+            junctions[lo:lo + len(part)] = np.asarray(fj) + np.asarray(rj)
+            for i, seed in enumerate(part):
+                fwd_ext = decode_linked_walk(seed, fe[i], num_steps)
+                back_ext = decode_linked_walk(rc_strs[i], re_[i], num_steps)
+                prefix = km.revcomp(back_ext) if back_ext else ""
+                contigs.append(prefix + seed + fwd_ext)
+        return contigs, overflow, junctions
+
+
+def assemble_batch_links(graph, colors, links_list, seeds: list,
                          num_steps: int = 1024):
-    """Bidirectional link-assisted contigs (TraversalEngine.assemble with
-    links).  dg: DeviceGraph; graph: host CortexGraph (for CSR build)."""
-    k = dg.kmer_size
-    kmers = np.asarray(dg.kmers)
-    ct = ck.build_cuckoo(kmers, np.arange(kmers.shape[0], dtype=np.uint32) + 1)
-    buckets = jnp.asarray(ct.buckets)
-    edges_combined = jnp.asarray(dg.combined_edges(colors))
-    la = build_link_arrays(graph, links_list)
-    args = (buckets, edges_combined,
-            jnp.asarray(la.offsets), jnp.asarray(la.choices),
-            jnp.asarray(la.lengths), jnp.asarray(la.forward))
-
-    fwd = jnp.asarray(km.pack_codes(km.strings_to_codes(seeds), k))
-    rc_strs = [km.revcomp(s) for s in seeds]
-    rev = jnp.asarray(km.pack_codes(km.strings_to_codes(rc_strs), k))
-
-    fe, fo, _ = walk_links_forward(*args, fwd, k, num_steps)
-    re_, ro, _ = walk_links_forward(*args, rev, k, num_steps)
-    fe = np.asarray(fe).T
-    re_ = np.asarray(re_).T
-
-    contigs = []
-    overflow = np.asarray(fo) | np.asarray(ro)
-    for i, seed in enumerate(seeds):
-        fwd_ext = decode_linked_walk(seed, fe[i], num_steps)
-        back_ext = decode_linked_walk(rc_strs[i], re_[i], num_steps)
-        prefix = km.revcomp(back_ext) if back_ext else ""
-        contigs.append(prefix + seed + fwd_ext)
+    """One-shot convenience wrapper over LinkedWalker (contigs, overflow)."""
+    walker = LinkedWalker(graph, colors, links_list)
+    contigs, overflow, _ = walker.assemble(seeds, num_steps)
     return contigs, overflow

@@ -40,13 +40,13 @@ def test_links_resolve_repeat_and_raise_n50():
     reads = _reads(rng, genome)
     g = fixtures.build_graph({"ecoli": [genome]}, K)
     links = bd.thread_reads(g, reads, "ecoli")
-    dg = device.DeviceGraph.from_graph(g)
 
     # seeds inside each unique region
     seeds = [a[50:50 + K], b[50:50 + K], c[50:50 + K]]
 
+    dg = device.DeviceGraph.from_graph(g)
     plain = wk.assemble_batch(dg, [0], seeds, num_steps=6000)
-    linked, overflow = wl.assemble_batch_links(dg, g, [0], [links], seeds,
+    linked, overflow = wl.assemble_batch_links(g, [0], [links], seeds,
                                                num_steps=6000)
     assert not overflow.any()
 

@@ -24,8 +24,7 @@ def test_linked_cycle_assembled_on_device():
     reads = {"test": ["TTTCGATGCGATGCGATGCCACG"]}
     g = fixtures.build_graph(haplotypes, 5)
     links = lk.build_links(g, reads, "test")
-    dg = device.DeviceGraph.from_graph(g)
-    contigs, overflow = wl.assemble_batch_links(dg, g, [0], [links], ["ACTGA"],
+    contigs, overflow = wl.assemble_batch_links(g, [0], [links], ["ACTGA"],
                                                 num_steps=128)
     host = _host_assemble(g, 0, "ACTGA", [links])
     assert not overflow[0]
@@ -36,9 +35,8 @@ def test_unlinked_matches_host_without_links():
     rng = np.random.default_rng(31)
     genome = "".join(rng.choice(list("ACGT"), 800))
     g = fixtures.build_graph({"s": [genome]}, 15)
-    dg = device.DeviceGraph.from_graph(g)
     seeds = [genome[i:i + 15] for i in range(0, 700, 173)]
-    contigs, overflow = wl.assemble_batch_links(dg, g, [0], [], seeds,
+    contigs, overflow = wl.assemble_batch_links(g, [0], [], seeds,
                                                 num_steps=1024)
     for seed, got in zip(seeds, contigs):
         want = _host_assemble(g, 0, seed, [])
@@ -55,10 +53,9 @@ def test_linked_walks_match_host_on_repeat_genomes():
     haplotypes = {"s": [genome]}
     g = fixtures.build_graph(haplotypes, k)
     links = lk.build_links(g, haplotypes, "s")
-    dg = device.DeviceGraph.from_graph(g)
 
     seeds = [genome[i:i + k] for i in (0, 100, 250, 500, 620)]
-    contigs, overflow = wl.assemble_batch_links(dg, g, [0], [links], seeds,
+    contigs, overflow = wl.assemble_batch_links(g, [0], [links], seeds,
                                                 num_steps=2048)
     for seed, got, ov in zip(seeds, contigs, overflow):
         want = _host_assemble(g, 0, seed, [links], max_len=2048)
@@ -72,8 +69,7 @@ def test_dfs_sink_case_via_device():
     haplotypes = {"mom": [hap]}
     g = fixtures.build_graph(haplotypes, k)
     links = lk.build_links(g, haplotypes, "mom")
-    dg = device.DeviceGraph.from_graph(g)
-    contigs, overflow = wl.assemble_batch_links(dg, g, [0], [links], [hap[:k]],
+    contigs, overflow = wl.assemble_batch_links(g, [0], [links], [hap[:k]],
                                                 num_steps=256)
     host = _host_assemble(g, 0, hap[:k], [links], max_len=256)
     if not overflow[0]:
