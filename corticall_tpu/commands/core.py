@@ -370,7 +370,8 @@ def find_contamination(graph: gr.CortexGraph, roi: gr.CortexGraph, parents: list
 
 def partition(graph: gr.CortexGraph, roi: gr.CortexGraph, links=(),
               link_novels: bool = False, max_walk: int = 20000,
-              stats: dict | None = None) -> list:
+              stats: dict | None = None,
+              checkpoint: str | None = None) -> list:
     """Group novel kmers into partition contigs.  Returns
     [(name_header, contig_sequence), ...] in the reference's emit order.
 
@@ -387,13 +388,17 @@ def partition(graph: gr.CortexGraph, roi: gr.CortexGraph, links=(),
     the exact host engine.  stats (optional dict) receives
     link_junctions_resolved / overflow_replays counts.  With link_novels
     (NovelPartitionStopper) the exact host engine is used throughout.
+
+    checkpoint (optional path): the chunked walk loop saves completed chunks
+    there; a re-run against the same graph resumes at the first incomplete
+    chunk (utils/checkpoint.save_chunk_state).  Removed on completion.
     """
     if link_novels:
         return _partition_host(graph, roi, links, link_novels, max_walk)
     if links:
         return _partition_links_device(graph, roi, list(links), max_walk,
-                                       stats)
-    return _partition_device(graph, roi, max_walk)
+                                       stats, checkpoint)
+    return _partition_device(graph, roi, max_walk, checkpoint=checkpoint)
 
 
 def _novel_in_factory(roi: gr.CortexGraph, k: int):
@@ -450,10 +455,13 @@ def _greedy_emit(cks: list, contigs: dict, roi: gr.CortexGraph, k: int) -> list:
 
 def _partition_links_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
                             links: list, max_walk: int,
-                            stats: dict | None = None) -> list:
+                            stats: dict | None = None,
+                            checkpoint: str | None = None,
+                            chunk: int = 16384) -> list:
     """Partition with link-assisted walks on device (the production linked
     configuration; Simulate.wdl threads links before Partition/Call)."""
     from ..ops import walk_links as wl
+    from ..utils import checkpoint as ckpt
 
     k = graph.kmer_size
     cks = sorted(roi.kmer_string(i) for i in range(roi.num_records))
@@ -461,8 +469,32 @@ def _partition_links_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
         return []
     child_color = graph.color_for_sample(roi.sample_name(0))
 
+    fp = ckpt.graph_fingerprint(graph) if checkpoint else ""
+    start_at = 0
+    contig_list: list = []
+    overflow = np.zeros(0, dtype=bool)
+    junctions = np.zeros(0, dtype=np.int64)
+    if checkpoint:
+        saved = ckpt.load_chunk_state(checkpoint, fp)
+        if saved is not None:
+            start_at, payload = saved
+            contig_list = payload["contigs"]
+            overflow = np.asarray(payload["overflow"], dtype=bool)
+            junctions = np.asarray(payload["junctions"], dtype=np.int64)
+
     walker = wl.LinkedWalker(graph, [child_color], links)
-    contig_list, overflow, junctions = walker.assemble(cks, num_steps=max_walk)
+    for lo in range(start_at, len(cks), chunk):
+        cl, of, jn = walker.assemble(cks[lo:lo + chunk], num_steps=max_walk)
+        contig_list.extend(cl)
+        overflow = np.concatenate([overflow, of])
+        junctions = np.concatenate([junctions, jn.astype(np.int64)])
+        if checkpoint and lo + chunk < len(cks):
+            ckpt.save_chunk_state(checkpoint, fp, lo + chunk, {
+                "contigs": contig_list,
+                "overflow": overflow.tolist(),
+                "junctions": junctions.tolist()})
+    if checkpoint:
+        ckpt.clear_chunk_state(checkpoint)
     contigs = dict(zip(cks, contig_list))
 
     # host-oracle replay for walks whose link state overflowed the device caps
@@ -486,8 +518,10 @@ def _partition_links_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
 
 
 def _partition_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
-                      max_walk: int, small_batch: int = 32768) -> list:
+                      max_walk: int, small_batch: int = 32768,
+                      checkpoint: str | None = None) -> list:
     from ..ops import walk as wk
+    from ..utils import checkpoint as ckpt
 
     k = graph.kmer_size
     cks = sorted(roi.kmer_string(i) for i in range(roi.num_records))
@@ -520,10 +554,17 @@ def _partition_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
     else:
         import jax.numpy as jnp
         from ..ops import cuckoo as cko
+        fp = ckpt.graph_fingerprint(graph) if checkpoint else ""
+        start_at = 0
+        if checkpoint:
+            saved = ckpt.load_chunk_state(checkpoint, fp)
+            if saved is not None:
+                start_at, done = saved
+                contigs.update(zip(cks[:start_at], done))
         ct = cko.build_walk_table(graph.kmers, graph.edges[:, child_color])
         buckets = jnp.asarray(ct.buckets)
         chunk = 65536
-        for lo in range(0, len(cks), chunk):
+        for lo in range(start_at, len(cks), chunk):
             f_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(cks[lo:lo + chunk]), k))
             r_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(rc[lo:lo + chunk]), k))
             fb, fc, _ = cko.walk_forward_spec_chunked(buckets, f_seeds, k, max_walk)
@@ -534,6 +575,11 @@ def _partition_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
                 fwd_ext = wk.replay_walk(s, fb[i], bool(fc[i]), max_walk)
                 back_ext = wk.replay_walk(rc[lo + i], rb[i], bool(rcy[i]), max_walk)
                 contigs[s] = (km.revcomp(back_ext) if back_ext else "") + s + fwd_ext
+            if checkpoint and lo + chunk < len(cks):
+                ckpt.save_chunk_state(checkpoint, fp, lo + chunk,
+                                      [contigs[s] for s in cks[:lo + chunk]])
+        if checkpoint:
+            ckpt.clear_chunk_state(checkpoint)
 
     return _greedy_emit(cks, contigs, roi, k)
 

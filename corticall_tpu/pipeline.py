@@ -1,0 +1,263 @@
+"""Pipeline — L6 orchestration: the production stage order as a resumable run.
+
+The reference orchestrates its pipeline with Cromwell WDL
+(cromwell/wdl/Simulate.wdl): per-sample `mccortex build/clean/inferedges`
+(:620-666), read threading into links + IndexLinks (:666-713), Join (:760),
+FindROIs (:804), the prefilter chain FindOrphans/FindTips/FindDust/
+FindLowCoverage/FindLowComplexity (:847-1063), RemoveKmers (:1064),
+Partition (:1107) and Call (:1331-1430) — every intermediate materialized to
+GCS, which is also its checkpoint story (SURVEY §5).
+
+This module is the in-process equivalent: one `run_pipeline` call executes the
+same stage order against the same on-disk artifact formats (.ctx, .ctp.bgz +
+.idx, FASTA, VCF), records per-stage wall-clock + stats in `state.json`, and
+resumes by skipping any stage whose artifact is already on disk with a
+matching state entry.  Killing the process at any point and re-running with
+the same workdir continues from the first incomplete stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+from . import build as bd
+from . import graph as gr
+from .commands import core
+from .io import ctx as ctxio
+from .io import fasta as faio
+from .io import links as lkio
+
+STATE_FILE = "state.json"
+
+
+class _State:
+    def __init__(self, workdir: str, resume: bool):
+        self.path = os.path.join(workdir, STATE_FILE)
+        self.data: dict = {"stages": {}}
+        if resume and os.path.exists(self.path):
+            with open(self.path) as f:
+                self.data = json.load(f)
+
+    def done(self, name: str) -> bool:
+        return name in self.data["stages"]
+
+    def mark(self, name: str, seconds: float, stats: dict | None = None) -> None:
+        self.data["stages"][name] = {
+            "seconds": round(seconds, 3), **({"stats": stats} if stats else {})}
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.data, f, indent=1)
+        os.replace(tmp, self.path)
+
+    def stats(self, name: str) -> dict:
+        return self.data["stages"].get(name, {}).get("stats", {})
+
+    def seconds(self, name: str) -> float:
+        return self.data["stages"].get(name, {}).get("seconds", 0.0)
+
+
+def _read_graph(path: str) -> gr.CortexGraph:
+    return gr.CortexGraph(ctxio.read_ctx(path))
+
+
+def _write_fasta_list(path: str, records: list) -> None:
+    with open(path, "w") as f:
+        for header, seq in records:
+            f.write(f">{header}\n{seq}\n")
+
+
+def _read_fasta_list(path: str) -> list:
+    return faio.read_fasta_full_headers(path)
+
+
+class Pipeline:
+    """Resumable staged runner.  Each stage writes its artifact(s) into
+    `workdir`; a stage re-runs only if its artifact or state entry is missing.
+    """
+
+    def __init__(self, workdir: str, resume: bool = True, log=None):
+        os.makedirs(workdir, exist_ok=True)
+        self.workdir = workdir
+        self.state = _State(workdir, resume)
+        self.log = log or (lambda *a: None)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.workdir, name)
+
+    def stage(self, name: str, artifacts: list, compute, load):
+        """Run `compute()` unless every artifact exists and the state says
+        the stage completed; in that case `load()` re-materializes results."""
+        paths = [self.path(a) for a in artifacts]
+        if self.state.done(name) and all(os.path.exists(p) for p in paths):
+            self.log(f"[pipeline] {name}: resume (cached)")
+            return load(*paths)
+        t0 = time.perf_counter()
+        result, stats = compute(*paths)
+        self.state.mark(name, time.perf_counter() - t0, stats)
+        self.log(f"[pipeline] {name}: {self.state.seconds(name)} s")
+        return result
+
+
+def run_pipeline(workdir: str, reads_by_sample: dict, child: str,
+                 parents: list, references=None, k: int = 47,
+                 min_coverage: int = 2, tip_length: int | None = None,
+                 link_samples=None, prefilter: bool = True,
+                 lowcov_min: int = 5, max_walk: int = 2000,
+                 trim_margin: int = 500, resume: bool = True,
+                 caller_opts: dict | None = None, log=None,
+                 clean: bool = True, prefilters=None) -> dict:
+    """Execute the full production pipeline from reads to VCF.
+
+    reads_by_sample: {sample: list_of_read_strings} (child first or any
+    order; `child`/`parents` name the colors).  references:
+    {parent: IndexedReference} for target labelling + coordinate liftover.
+    Returns a dict with the graph, rois, partitions, variants, per-stage
+    timings and stats (see keys below).
+    """
+    pl = Pipeline(workdir, resume=resume, log=log)
+    samples = [child] + list(parents)
+    link_samples = list(link_samples if link_samples is not None else samples)
+    prefilters = list(prefilters if prefilters is not None
+                      else ("orphans", "tips", "dust", "lowcov", "lowcomplexity"))
+
+    # ---- per-sample build + clean (mccortex build/clean/inferedges) -------
+    cleaned: dict = {}
+    for s in samples:
+        def compute(path, s=s):
+            g = bd.build_graph_from_reads(reads_by_sample[s], k, s)
+            raw_records = g.num_records
+            if clean:
+                g = bd.clean_graph(g, min_coverage=min_coverage,
+                                   tip_length=tip_length)
+            ctxio.write_ctx(path, g.data)
+            return g, {"raw_records": raw_records,
+                       "clean_records": g.num_records}
+        cleaned[s] = pl.stage(f"build_clean_{s}", [f"{s}.clean.ctx"],
+                              compute, _read_graph)
+
+    # ---- join (commands/utils/Join.java; WDL Join :760) --------------------
+    def compute_join(path):
+        g = core.join([cleaned[s] for s in samples])
+        ctxio.write_ctx(path, g.data)
+        return g, {"records": g.num_records}
+    joined = pl.stage("join", ["joined.ctx"], compute_join, _read_graph)
+
+    # ---- thread reads -> indexed links (ThreadReads + IndexLinks :666-713) -
+    links: list = []
+    for s in link_samples:
+        def compute(path_bgz, s=s):
+            ld = bd.thread_reads(joined, reads_by_sample[s], s)
+            lkio.write_links_indexed(path_bgz, ld, source=f"{s}.reads")
+            return ld, {"kmers_with_links": len(ld)}
+        links.append(pl.stage(
+            f"thread_{s}", [f"{s}.ctp.bgz"], compute,
+            lambda p: lkio.open_links(p)))
+
+    # ---- FindROIs (:804) ----------------------------------------------------
+    def compute_rois(path):
+        r = core.find_rois(joined, child, parents)
+        ctxio.write_ctx(path, r.data)
+        return r, {"rois": r.num_records}
+    rois = pl.stage("find_rois", ["rois.ctx"], compute_rois, _read_graph)
+
+    # ---- prefilter chain + Remove (:847-1064) -------------------------------
+    if prefilter and rois.num_records:
+        def compute_pf(path):
+            excluded = []
+            per = {}
+            if "orphans" in prefilters:
+                e = core.find_orphans(joined, rois, parents)
+                per["orphans"] = e.num_records
+                excluded.append(e)
+            if "tips" in prefilters:
+                e = core.find_tips(joined, rois, parents, links=links)
+                per["tips"] = e.num_records
+                excluded.append(e)
+            if "dust" in prefilters:
+                e = core.find_dust(joined, rois, parents)
+                per["dust"] = e.num_records
+                excluded.append(e)
+            if "lowcov" in prefilters:
+                e = core.find_low_coverage(rois, min_coverage=lowcov_min)
+                per["lowcov"] = e.num_records
+                excluded.append(e)
+            if "lowcomplexity" in prefilters:
+                e = core.find_low_complexity(joined, rois, parents)
+                per["lowcomplexity"] = e.num_records
+                excluded.append(e)
+            out = core.remove(rois, [e for e in excluded if e.num_records])
+            ctxio.write_ctx(path, out.data)
+            return out, {"excluded": per, "kept": out.num_records,
+                         "removed": rois.num_records - out.num_records}
+        rois = pl.stage("prefilter", ["rois.filtered.ctx"],
+                        compute_pf, _read_graph)
+
+    # ---- Partition with links (:1107; Partition.java) ----------------------
+    def compute_partition(path):
+        stats: dict = {}
+        parts = core.partition(joined, rois, links=links, max_walk=max_walk,
+                               stats=stats,
+                               checkpoint=pl.path("partition.ckpt.npz"))
+        _write_fasta_list(path, parts)
+        stats["partitions"] = len(parts)
+        return parts, stats
+    parts = pl.stage("partition", ["partitions.fa"],
+                     compute_partition, _read_fasta_list)
+
+    # ---- TrimPartitions -----------------------------------------------------
+    def compute_trim(path):
+        from . import evaluation as ev
+        roi_set = {rois.kmer_string(i) for i in range(rois.num_records)}
+        trimmed = ev.trim_partitions(parts, roi_set, k, margin=trim_margin)
+        _write_fasta_list(path, trimmed)
+        return trimmed, {"partitions": len(trimmed)}
+    parts_t = pl.stage("trim", ["partitions.trimmed.fa"],
+                       compute_trim, _read_fasta_list)
+
+    # ---- Call with links (:1331-1430; Call.java) ----------------------------
+    def compute_call(vcf_path, acct_path):
+        from .caller.call import Caller
+        caller = Caller(joined, rois, parts_t, backgrounds=list(parents),
+                        references=references or {}, links=links,
+                        **(caller_opts or {}))
+        variants, _ = caller.write_outputs(vcf_path, acct_path)
+        return variants, {"calls": len(variants)}
+    variants = pl.stage(
+        "call", ["calls.vcf", "accounting.txt"], compute_call,
+        lambda vp, ap: _load_vcf_variants(vp))
+
+    return {
+        "graph": joined, "rois": rois, "links": links,
+        "partitions": parts_t, "variants": variants,
+        "stages": {n: pl.state.seconds(n) for n in pl.state.data["stages"]},
+        "stats": {n: pl.state.stats(n) for n in pl.state.data["stages"]},
+        "workdir": workdir,
+    }
+
+
+def _load_vcf_variants(vcf_path: str) -> list:
+    """Re-materialize Variant objects from a pipeline-written VCF (resume)."""
+    from .caller.variants import Variant
+    out = []
+    with open(vcf_path) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            fields = line.rstrip("\n").split("\t")
+            chrom, pos, _, ref, alt = fields[:5]
+            filt = fields[6] if len(fields) > 6 else "."
+            v = Variant(chrom, int(pos), 0, [ref] + alt.split(","))
+            if not v.is_symbolic():
+                v.compute_end_from_alleles()
+            for kv in (fields[7].split(";") if len(fields) > 7 else []):
+                if "=" in kv:
+                    kk, vv = kv.split("=", 1)
+                    v.attr(kk, vv)
+            if filt not in (".", "PASS"):
+                v.filters.update(filt.split(";"))
+            out.append(v)
+    return out

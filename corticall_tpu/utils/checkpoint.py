@@ -41,6 +41,41 @@ def load_walk_state(path) -> dict:
             "meta": meta}
 
 
+def save_chunk_state(path, graph_fp: str, next_index: int, contigs: list) -> None:
+    """Checkpoint a chunked batch computation (e.g. Partition's walk chunks):
+    contigs computed so far + the next chunk start.  Written atomically so a
+    kill mid-write leaves the previous checkpoint intact."""
+    import gzip
+    import os
+    tmp = str(path) + ".tmp"
+    with gzip.open(tmp, "wt") as f:
+        json.dump({"graph": graph_fp, "next": next_index,
+                   "contigs": contigs}, f)
+    os.replace(tmp, path)
+
+
+def load_chunk_state(path, graph_fp: str):
+    """(next_index, contigs) if a checkpoint for this graph exists, else None."""
+    import gzip
+    import os
+    if not path or not os.path.exists(path):
+        return None
+    try:
+        with gzip.open(path, "rt") as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if d.get("graph") != graph_fp:
+        return None
+    return d["next"], d["contigs"]
+
+
+def clear_chunk_state(path) -> None:
+    import os
+    if path and os.path.exists(path):
+        os.remove(path)
+
+
 def resume_walks(dg, colors, state: dict, num_steps: int):
     """Continue interrupted walks from a saved frontier.  Returns (bases
     [T, B] continuing the saved stream, cycled, steps)."""

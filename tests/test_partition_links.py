@@ -75,3 +75,59 @@ def test_partition_links_overflow_replay():
         wl.MAX_ADD = old_cap
     want = core._partition_host(g, rois, [links], link_novels=False, max_walk=4096)
     assert got == want
+
+
+def test_partition_links_checkpoint_resume(tmp_path, monkeypatch):
+    """Chunked walk checkpointing: a run interrupted after chunk 1 resumes at
+    chunk 2 (completed seeds are NOT re-walked), output matches an
+    uninterrupted run, and the checkpoint file is cleared on completion."""
+    import os
+
+    from corticall_tpu.ops import walk_links as wl
+    from corticall_tpu.utils import checkpoint as ckpt
+
+    rng = np.random.default_rng(17)
+    g, rois, links = _mk_graph_with_repeats(rng, 15)
+    path = str(tmp_path / "part.ckpt")
+    want = core._partition_links_device(g, rois, [links], 4096)
+    cks = sorted(rois.kmer_string(i) for i in range(rois.num_records))
+    assert len(cks) > 2
+
+    # run chunked with a checkpoint, killing after the first chunk:
+    # the first assemble call completes (and its state is saved), then boom
+    real_assemble = wl.LinkedWalker.assemble
+    calls = []
+
+    def dying_assemble(self, seeds, num_steps):
+        calls.append(len(seeds))
+        if len(calls) == 2:
+            raise KeyboardInterrupt  # simulated kill between chunks
+        return real_assemble(self, seeds, num_steps)
+
+    monkeypatch.setattr(wl.LinkedWalker, "assemble", dying_assemble)
+    with np.testing.assert_raises(KeyboardInterrupt):
+        core._partition_links_device(g, rois, [links], 4096,
+                                     checkpoint=path, chunk=2)
+    assert os.path.exists(path)
+
+    # resume: first chunk is NOT re-walked, output identical, file cleared
+    resumed = []
+
+    def counting_assemble(self, seeds, num_steps):
+        resumed.append(len(seeds))
+        return real_assemble(self, seeds, num_steps)
+
+    monkeypatch.setattr(wl.LinkedWalker, "assemble", counting_assemble)
+    got = core._partition_links_device(g, rois, [links], 4096,
+                                       checkpoint=path, chunk=2)
+    assert got == want
+    assert sum(resumed) == len(cks) - 2  # chunk 1's seeds never re-walked
+    assert not os.path.exists(path)
+    monkeypatch.setattr(wl.LinkedWalker, "assemble", real_assemble)
+
+    # a checkpoint against a DIFFERENT graph is ignored
+    ckpt.save_chunk_state(path, "bogus-fingerprint", 2, {
+        "contigs": ["X", "Y"], "overflow": [False, False], "junctions": [0, 0]})
+    got2 = core._partition_links_device(g, rois, [links], 4096,
+                                        checkpoint=path, chunk=2)
+    assert got2 == want
