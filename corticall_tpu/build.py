@@ -223,14 +223,27 @@ def clean_graph(g: gr.CortexGraph, min_coverage: int = 2,
     return g2
 
 
-def infer_edges(g: gr.CortexGraph, restrict: bool = False) -> gr.CortexGraph:
+def infer_edges(g: gr.CortexGraph, restrict: bool = False,
+                use_native: bool = True) -> gr.CortexGraph:
     """`mccortex inferedges` equivalent: set an edge bit wherever both adjacent
     kmers exist in the graph (restrict=True instead CLEARS bits pointing at
-    absent kmers, used after cleaning)."""
+    absent kmers, used after cleaning).  Hot path is ct_infer_edges (one hash
+    probe per candidate edge); numpy fallback runs 8 binary-search sweeps per
+    color."""
     k = g.kmer_size
     n = g.num_records
     if n == 0:
         return g
+    if use_native and k <= 64:
+        from . import native
+        if native.available():
+            new_edges = g.edges.copy()
+            kk = np.ascontiguousarray(g.kmers)
+            for c in range(g.num_colors):
+                new_edges[:, c] = native.infer_edges_native(
+                    kk, g.coverages[:, c] > 0, g.edges[:, c], k, restrict)
+            return gr.CortexGraph(type(g.data)(
+                g.header, g.kmers, g.coverages, new_edges, g.data.kmer_bytes))
     codes = km.unpack_words(g.kmers, k)          # canonical orientation codes
     new_edges = g.edges.copy()
     for c in range(g.num_colors):
@@ -259,7 +272,8 @@ def infer_edges(g: gr.CortexGraph, restrict: bool = False) -> gr.CortexGraph:
 
 
 def thread_reads(g: gr.CortexGraph, sequences, sample_name: str,
-                 chunk_bases: int = 16_000_000) -> lkio.LinksData:
+                 chunk_bases: int = 16_000_000,
+                 use_native: bool = True) -> lkio.LinksData:
     """`mccortex thread` equivalent at production scale.
 
     Vectorized read threading with TempLinksAssembler.java:29-72 semantics
@@ -269,15 +283,30 @@ def thread_reads(g: gr.CortexGraph, sequences, sample_name: str,
     appended to the choice string of the kmer preceding every earlier
     in-branching position.  Reads are broken at kmers absent from the graph
     (mccortex `thread` behavior on error-bearing reads — a link must describe
-    a real graph path).  All per-kmer work (lookup, degree, orientation) is
-    batched numpy over chunk_bases-sized blocks; per-read Python touches only
-    the sparse junction / in-branch events.
+    a real graph path).  The hot scan runs in the C++ core (ct_thread_scan,
+    rolling canonical kmers + open-addressing probes); the numpy fallback
+    batches all per-kmer work over chunk_bases-sized blocks with per-read
+    Python touching only the sparse junction / in-branch events.
     """
     color = g.color_for_sample(sample_name)
     k = g.kmer_size
     cov = g.coverages[:, color]
     edges = g.edges[:, color]
     link_map: dict[str, set] = {}
+
+    if use_native and k <= 64:
+        from . import native
+        mask = cov > 0
+        nm = native.thread_scan_native(
+            np.ascontiguousarray(g.kmers[mask]),
+            np.ascontiguousarray(edges[mask]), k, list(sequences))
+        if nm is not None:
+            data = lkio.LinksData(sample_name=sample_name, kmer_size=k,
+                                  num_kmers_in_graph=g.num_records)
+            for s in nm:
+                data.records[s] = [lkio.JunctionRecord(fw, len(ch), (1,), ch)
+                                   for fw, ch in sorted(nm[s])]
+            return data
 
     def process_chunk(reads_chunk: list) -> None:
         parts = []

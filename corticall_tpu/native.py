@@ -82,6 +82,21 @@ def get_lib():
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
         ctypes.c_int32, _f64, _i8, _i8, _i8,
     ]
+    _u8p = ctypes.POINTER(ctypes.c_uint8)
+    _i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.ct_infer_edges.restype = None
+    lib.ct_infer_edges.argtypes = [
+        _u64p, _u64p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32,
+    ]
+    lib.ct_thread_scan.restype = ctypes.c_int64
+    lib.ct_thread_scan.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, _i64p, ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(_u64p), ctypes.POINTER(_u64p),
+        ctypes.POINTER(_u8p), ctypes.POINTER(_i64p), ctypes.POINTER(_u8p),
+    ]
     _lib = lib
     return _lib
 
@@ -229,6 +244,115 @@ def merge_runs_native(key_runs: list):
     full[:, 2] = (ulo >> np.uint64(32)).astype(np.uint32)
     full[:, 3] = (ulo & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     return np.ascontiguousarray(full[:, 4 - w:]), idx
+
+
+def _hilo_to_words(hi: np.ndarray, lo: np.ndarray, w: int) -> np.ndarray:
+    """Inverse of _words_to_hilo."""
+    n = len(hi)
+    cols = [(hi >> np.uint64(32)).astype(np.uint32),
+            (hi & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (lo >> np.uint64(32)).astype(np.uint32),
+            (lo & np.uint64(0xFFFFFFFF)).astype(np.uint32)][4 - w:]
+    words = np.empty((n, w), dtype=np.uint32)
+    for i, c in enumerate(cols):
+        words[:, i] = c
+    return words
+
+
+def infer_edges_native(graph_kmers: np.ndarray, present: np.ndarray,
+                       edges_color: np.ndarray, k: int, restrict: bool):
+    """Native twin of one color of build.infer_edges.  Returns the new edge
+    byte array, or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or k > 64:
+        return None
+    khi, klo = _words_to_hilo(graph_kmers)
+    edges = np.ascontiguousarray(edges_color, dtype=np.uint8).copy()
+    pres = np.ascontiguousarray(present, dtype=np.uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.ct_infer_edges(
+        khi.ctypes.data_as(u64p), klo.ctypes.data_as(u64p),
+        pres.ctypes.data_as(u8p), edges.ctypes.data_as(u8p),
+        len(khi), k, 1 if restrict else 0)
+    return edges
+
+
+def thread_scan_native(graph_kmers: np.ndarray, edges_color: np.ndarray,
+                       k: int, sequences: list,
+                       chunk_bases: int = 48_000_000):
+    """Native twin of the scan inside build.thread_reads: returns the
+    link_map {canonical key kmer string: set[(fw, choices)]} or None when the
+    native library is unavailable.  graph_kmers/edges_color must already be
+    filtered to records with coverage > 0 in the threading color."""
+    lib = get_lib()
+    if lib is None or k > 64:
+        return None
+    from . import kmer as km
+
+    khi, klo = _words_to_hilo(graph_kmers)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    handle = lib.ct_walk_table_build(
+        khi.ctypes.data_as(u64p), klo.ctypes.data_as(u64p),
+        np.ascontiguousarray(edges_color, dtype=np.uint8).ctypes.data_as(u8p),
+        len(khi), k)
+    if not handle:
+        return None
+
+    link_map: dict[str, set] = {}
+
+    def run_chunk(chunk: list) -> None:
+        blob = "".join(chunk).encode()
+        offsets = np.zeros(len(chunk) + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in chunk], out=offsets[1:])
+        ohi, olo = u64p(), u64p()
+        ofw, ochoff, och = u8p(), i64p(), u8p()
+        n = lib.ct_thread_scan(
+            handle, blob, offsets.ctypes.data_as(i64p), len(chunk), k,
+            ctypes.byref(ohi), ctypes.byref(olo), ctypes.byref(ofw),
+            ctypes.byref(ochoff), ctypes.byref(och))
+        if n < 0:
+            raise RuntimeError("ct_thread_scan failed")
+        def grab(ptr, ctype, dtype, count):
+            if not count:
+                return np.zeros(0, dtype)
+            buf = (ctype * count).from_address(
+                ctypes.cast(ptr, ctypes.c_void_p).value)
+            return np.frombuffer(buf, dtype=dtype).copy()
+        try:
+            hi_a = grab(ohi, ctypes.c_uint64, np.uint64, n)
+            lo_a = grab(olo, ctypes.c_uint64, np.uint64, n)
+            fw_a = grab(ofw, ctypes.c_uint8, np.uint8, n)
+            choff = grab(ochoff, ctypes.c_int64, np.int64, n + 1)
+            ch = grab(och, ctypes.c_uint8, np.uint8,
+                      int(choff[-1]) if n else 0)
+        finally:
+            for p in (ohi, olo, ofw, ochoff, och):
+                lib.ct_free(p)
+        if not n:
+            return
+        words = _hilo_to_words(hi_a, lo_a, km.words_per_kmer(k))
+        keys = km.codes_to_strings(km.unpack_words(words, k))
+        chb = ch.tobytes()
+        for i in range(n):
+            link_map.setdefault(keys[i], set()).add(
+                (bool(fw_a[i]), chb[choff[i]:choff[i + 1]].decode()))
+
+    try:
+        batch, nb = [], 0
+        for s in sequences:
+            batch.append(s)
+            nb += len(s)
+            if nb >= chunk_bases:
+                run_chunk(batch)
+                batch, nb = [], 0
+        if batch:
+            run_chunk(batch)
+    finally:
+        lib.ct_walk_table_free(handle)
+    return link_map
 
 
 def walk_forward_host(graph_kmers: np.ndarray, edges_combined: np.ndarray,

@@ -507,3 +507,338 @@ void ct_walk(void* table, const uint64_t* seed_hi, const uint64_t* seed_lo,
 void ct_free(void* p) { free(p); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Edge inference / restriction (`mccortex inferedges`): per color, set an
+// edge bit wherever both adjacent kmers exist (mode 0) or clear bits pointing
+// at absent kmers (mode 1, used after cleaning).  Twin of the numpy loop in
+// build.py::infer_edges (8 full-graph binary-search sweeps there; one
+// open-addressing probe per candidate edge here).
+
+extern "C" {
+
+void ct_infer_edges(const uint64_t* khi, const uint64_t* klo,
+                    const uint8_t* present, uint8_t* edges,
+                    int64_t n, int32_t k, int32_t mode) {
+    if (k <= 0 || k > 64 || n == 0) return;
+    const int shift_top = 2 * (k - 1);
+    const bool one_word = k <= 32;
+    const uint64_t lo_mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    const uint64_t hi_mask = (k <= 32) ? 0ULL
+                            : ((k == 64) ? ~0ULL : ((1ULL << (2 * (k - 32))) - 1));
+
+    // index table at ~0.66 load: (hi, lo, idx), idx == UINT32_MAX empty
+    struct IdxSlot { uint64_t hi, lo; uint32_t idx; };
+    uint64_t cap = 16;
+    while (cap < (uint64_t)(n + n / 2 + 1)) cap <<= 1;
+    const uint64_t mask = cap - 1;
+    std::vector<IdxSlot> slots(cap, IdxSlot{0, 0, 0xFFFFFFFFu});
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = mix64(khi[i] ^ mix64(klo[i])) & mask;
+        while (slots[h].idx != 0xFFFFFFFFu) h = (h + 1) & mask;
+        slots[h] = IdxSlot{khi[i], klo[i], (uint32_t)i};
+    }
+    auto lookup = [&](uint64_t hi, uint64_t lo) -> int64_t {
+        uint64_t h = mix64(hi ^ mix64(lo)) & mask;
+        while (slots[h].idx != 0xFFFFFFFFu) {
+            if (slots[h].hi == hi && slots[h].lo == lo)
+                return (int64_t)slots[h].idx;
+            h = (h + 1) & mask;
+        }
+        return -1;
+    };
+    static const uint8_t REV4[16] = {0, 8, 4, 12, 2, 10, 6, 14,
+                                     1, 9, 5, 13, 3, 11, 7, 15};
+
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t e = edges[i];
+        if (!present[i]) {
+            if (mode == 1) edges[i] = 0;
+            continue;
+        }
+        const uint8_t out_mask0 = (uint8_t)(e & 0xF);
+        const uint8_t in_mask0 = REV4[e >> 4];       // prev-base mask
+        // rc of the record kmer, computed once
+        const uint64_t fhi = khi[i], flo = klo[i];
+        uint64_t rhi = 0, rlo = 0;
+        for (int32_t t = 0; t < k; t++) {
+            const int sh = 2 * t;
+            const uint64_t b = (sh >= 64 ? (fhi >> (sh - 64)) : (flo >> sh)) & 3ULL;
+            rhi = (rhi << 2) | (rlo >> 62);
+            rlo = (rlo << 2) | (3 - b);
+        }
+        rhi &= hi_mask;
+        if (one_word) { rlo &= lo_mask; rhi = 0; }
+
+        uint8_t out_new = 0, in_new = 0;
+        for (int b = 0; b < 4; b++) {
+            const bool check_out = mode == 0 || ((out_mask0 >> b) & 1);
+            const bool check_in = mode == 0 || ((in_mask0 >> b) & 1);
+            if (check_out) {
+                // successor: shift left, append b; rc: shift right, prepend 3-b
+                uint64_t shi = ((fhi << 2) | (flo >> 62)) & hi_mask;
+                uint64_t slo = (flo << 2) | (uint64_t)b;
+                if (one_word) { slo &= lo_mask; shi = 0; }
+                uint64_t srlo = (rlo >> 2) | (rhi << 62);
+                uint64_t srhi = rhi >> 2;
+                const uint64_t cb = 3 - (uint64_t)b;
+                if (shift_top >= 64) srhi |= cb << (shift_top - 64);
+                else srlo |= cb << shift_top;
+                if (one_word) { srlo &= lo_mask; srhi = 0; }
+                else { srhi &= hi_mask; }
+                const bool fwd = one_word ? (slo <= srlo)
+                               : (shi != srhi ? shi < srhi : slo <= srlo);
+                const int64_t j = lookup(fwd ? shi : srhi, fwd ? slo : srlo);
+                if (j >= 0 && present[j]) out_new |= (uint8_t)(1u << b);
+            }
+            if (check_in) {
+                // predecessor: shift right, prepend b at the top
+                uint64_t plo = (flo >> 2) | (fhi << 62);
+                uint64_t phi = fhi >> 2;
+                if (shift_top >= 64) phi |= ((uint64_t)b) << (shift_top - 64);
+                else plo |= ((uint64_t)b) << shift_top;
+                if (one_word) { plo &= lo_mask; phi = 0; }
+                else { phi &= hi_mask; }
+                uint64_t prhi = ((rhi << 2) | (rlo >> 62)) & hi_mask;
+                uint64_t prlo = (rlo << 2) | (3 - (uint64_t)b);
+                if (one_word) { prlo &= lo_mask; prhi = 0; }
+                const bool fwd = one_word ? (plo <= prlo)
+                               : (phi != prhi ? phi < prhi : plo <= prlo);
+                const int64_t j = lookup(fwd ? phi : prhi, fwd ? plo : prlo);
+                if (j >= 0 && present[j]) in_new |= (uint8_t)(1u << b);
+            }
+        }
+        uint8_t inferred = (uint8_t)((REV4[in_new] << 4) | out_new);
+        edges[i] = mode == 1 ? (uint8_t)(e & inferred)
+                             : (uint8_t)(e | inferred);
+    }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native read threading (`mccortex thread`, cromwell/wdl/Simulate.wdl:666-713):
+// exact twin of the numpy scan in build.py::thread_reads.  Every read is
+// scanned in both orientations; within each connected present run, each
+// out-branching kmer whose read successor exists contributes its followed
+// base to the choice string of the kmer preceding every earlier in-branching
+// position (TempLinksAssembler.java:29-72 semantics).  Events are deduped
+// natively; Python only converts unique keys to strings.
+
+namespace {
+
+struct ThreadEvent {
+    uint64_t hi, lo;      // canonical key kmer
+    int64_t coff;         // offset into the choice pool
+    int32_t clen;         // choice count
+    uint8_t fw;           // 1 when the key kmer's read orientation == canonical
+};
+
+struct ThreadWorkerOut {
+    std::vector<ThreadEvent> events;
+    std::vector<uint8_t> pool;   // junction choice bases, ASCII
+};
+
+inline int popcount4(uint8_t m) { return __builtin_popcount(m & 0xF); }
+
+// scan one oriented code sequence (codes 0-3 valid, >=4 invalid)
+void thread_scan_codes(const WalkTable* t, const uint8_t* codes, int64_t len,
+                       int32_t k, ThreadWorkerOut& out) {
+    const int shift_top = 2 * (k - 1);
+    const bool one_word = k <= 32;
+    const uint64_t lo_mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    const uint64_t hi_mask = (k <= 32) ? 0ULL
+                            : ((k == 64) ? ~0ULL : ((1ULL << (2 * (k - 32))) - 1));
+    static const char* BASE = "ACGT";
+
+    int64_t start = 0;
+    std::vector<uint64_t> chi, clo;
+    std::vector<uint8_t> flip, eb, found;
+    while (start <= len - k) {
+        int64_t end = start;
+        while (end < len && codes[end] <= 3) end++;
+        if (end - start >= k) {
+            const int64_t m = end - start - k + 1;
+            chi.assign(m, 0); clo.assign(m, 0);
+            flip.assign(m, 0); eb.assign(m, 0); found.assign(m, 0);
+            uint64_t fhi = 0, flo = 0, rhi = 0, rlo = 0;
+            for (int64_t i = start; i < end; i++) {
+                const uint64_t b = codes[i];
+                fhi = ((fhi << 2) | (flo >> 62)) & hi_mask;
+                flo = (flo << 2) | b;
+                if (one_word) flo &= lo_mask;
+                rlo = (rlo >> 2) | (rhi << 62);
+                rhi >>= 2;
+                const uint64_t cb = 3 - b;
+                if (shift_top >= 64) rhi |= cb << (shift_top - 64);
+                else rlo |= cb << shift_top;
+                if (one_word) { rlo &= lo_mask; rhi = 0; }
+                else { rhi &= hi_mask; }
+                const int64_t pos = i - start + 1;
+                if (pos < k) continue;
+                const int64_t p = pos - k;
+                // canonicalization matches kmer.canonicalize_codes: forward
+                // wins ties (flip only when rc is strictly smaller)
+                const bool flipped = one_word ? (rlo < flo)
+                                   : (rhi != fhi ? rhi < fhi : rlo < flo);
+                const uint64_t khi = flipped ? rhi : fhi;
+                const uint64_t klo = flipped ? rlo : flo;
+                chi[p] = khi; clo[p] = klo; flip[p] = flipped;
+                uint64_t h = mix64(khi ^ mix64(klo)) & t->mask;
+                while (t->slots[h].used) {
+                    const WalkSlot& sl = t->slots[h];
+                    if (sl.hi == khi && sl.lo == klo) {
+                        eb[p] = sl.edge;
+                        found[p] = 1;
+                        break;
+                    }
+                    h = (h + 1) & t->mask;
+                }
+            }
+            // runs of edge-connected present windows; junction + in-branch
+            // events per run (build.py::thread_reads phase 2)
+            int64_t p = 0;
+            std::vector<int64_t> jpos;
+            std::vector<int64_t> ibr;
+            while (p < m) {
+                if (!found[p]) { p++; continue; }
+                const int64_t rs = p;
+                jpos.clear(); ibr.clear();
+                const int64_t pool0 = (int64_t)out.pool.size();
+                while (true) {
+                    const uint8_t e = eb[p];
+                    const uint8_t next_mask = flip[p] ? (uint8_t)(e >> 4)
+                                                      : (uint8_t)(e & 0xF);
+                    const uint8_t in_nib = flip[p] ? (uint8_t)(e & 0xF)
+                                                   : (uint8_t)(e >> 4);
+                    if (p > rs && popcount4(in_nib) > 1) ibr.push_back(p);
+                    bool conn = false;
+                    if (p + 1 < m && found[p + 1]) {
+                        const uint8_t nb = codes[start + p + k];
+                        if ((next_mask >> nb) & 1) {
+                            conn = true;
+                            if (popcount4(next_mask) > 1) {
+                                jpos.push_back(p);
+                                out.pool.push_back((uint8_t)BASE[nb]);
+                            }
+                        }
+                    }
+                    if (!conn) break;
+                    p++;
+                }
+                p++;
+                const int64_t nj = (int64_t)jpos.size();
+                for (int64_t ib : ibr) {
+                    const int64_t q = ib - 1;
+                    // first junction at position >= q
+                    int64_t lb = (int64_t)(std::lower_bound(jpos.begin(),
+                                           jpos.end(), q) - jpos.begin());
+                    if (lb >= nj) continue;
+                    ThreadEvent ev;
+                    ev.hi = chi[q]; ev.lo = clo[q];
+                    ev.coff = pool0 + lb;
+                    ev.clen = (int32_t)(nj - lb);
+                    ev.fw = flip[q] ? 0 : 1;
+                    out.events.push_back(ev);
+                }
+            }
+        }
+        start = end + 1;
+        if (end >= len) break;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// table: from ct_walk_table_build over (kmer, per-color edge byte) pairs of
+// records with coverage > 0 in the threading color.
+// Returns the number of UNIQUE (key kmer, orientation, choices) events.
+int64_t ct_thread_scan(void* table, const uint8_t* bases,
+                       const int64_t* offsets, int64_t nseqs, int32_t k,
+                       uint64_t** out_key_hi, uint64_t** out_key_lo,
+                       uint8_t** out_fw, int64_t** out_choff,
+                       uint8_t** out_choices) {
+    if (k <= 0 || k > 64) return -1;
+    const WalkTable* t = (const WalkTable*)table;
+    uint8_t lut[256];
+    build_lut(lut);
+
+    ThreadWorkerOut out;
+    std::vector<uint8_t> fcodes, rcodes;
+    for (int64_t s = 0; s < nseqs; s++) {
+        const uint8_t* seq = bases + offsets[s];
+        const int64_t len = offsets[s + 1] - offsets[s];
+        if (len < k) continue;
+        fcodes.resize(len);
+        rcodes.resize(len);
+        for (int64_t i = 0; i < len; i++) {
+            const uint8_t c = lut[seq[i]];
+            fcodes[i] = c;
+            rcodes[len - 1 - i] = (c == 0xFF) ? 0xFF : (uint8_t)(3 - c);
+        }
+        thread_scan_codes(t, fcodes.data(), len, k, out);
+        thread_scan_codes(t, rcodes.data(), len, k, out);
+    }
+
+    // dedup: sort by (key, fw, choices lexicographic) — the order Python's
+    // sorted() gives (False < True, string compare), so grouped records come
+    // out already in emission order
+    const uint8_t* pool = out.pool.data();
+    std::sort(out.events.begin(), out.events.end(),
+              [pool](const ThreadEvent& a, const ThreadEvent& b) {
+        if (a.hi != b.hi) return a.hi < b.hi;
+        if (a.lo != b.lo) return a.lo < b.lo;
+        if (a.fw != b.fw) return a.fw < b.fw;
+        const int32_t n = a.clen < b.clen ? a.clen : b.clen;
+        const int c = memcmp(pool + a.coff, pool + b.coff, (size_t)n);
+        if (c != 0) return c < 0;
+        return a.clen < b.clen;
+    });
+    auto ev_eq = [pool](const ThreadEvent& a, const ThreadEvent& b) {
+        return a.hi == b.hi && a.lo == b.lo && a.fw == b.fw &&
+               a.clen == b.clen &&
+               memcmp(pool + a.coff, pool + b.coff, (size_t)a.clen) == 0;
+    };
+
+    int64_t n = 0, total_choices = 0;
+    const int64_t ne = (int64_t)out.events.size();
+    for (int64_t i = 0; i < ne;) {
+        int64_t j = i + 1;
+        while (j < ne && ev_eq(out.events[i], out.events[j])) j++;
+        n++;
+        total_choices += out.events[i].clen;
+        i = j;
+    }
+
+    uint64_t* khi = (uint64_t*)malloc(sizeof(uint64_t) * (n ? n : 1));
+    uint64_t* klo = (uint64_t*)malloc(sizeof(uint64_t) * (n ? n : 1));
+    uint8_t* fw = (uint8_t*)malloc(n ? n : 1);
+    int64_t* choff = (int64_t*)malloc(sizeof(int64_t) * (n + 1));
+    uint8_t* choices = (uint8_t*)malloc(total_choices ? total_choices : 1);
+    if (!khi || !klo || !fw || !choff || !choices) return -1;
+
+    int64_t w = 0, coff = 0;
+    choff[0] = 0;
+    for (int64_t i = 0; i < ne;) {
+        int64_t j = i + 1;
+        while (j < ne && ev_eq(out.events[i], out.events[j])) j++;
+        const ThreadEvent& e = out.events[i];
+        khi[w] = e.hi; klo[w] = e.lo; fw[w] = e.fw;
+        memcpy(choices + coff, pool + e.coff, (size_t)e.clen);
+        coff += e.clen;
+        choff[w + 1] = coff;
+        w++;
+        i = j;
+    }
+
+    *out_key_hi = khi;
+    *out_key_lo = klo;
+    *out_fw = fw;
+    *out_choff = choff;
+    *out_choices = choices;
+    return n;
+}
+
+}  // extern "C"

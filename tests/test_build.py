@@ -217,3 +217,41 @@ def test_simulate_reads_coverage_and_errors():
     # error-free reads are genome substrings (fwd or rc)
     for r in reads[:20]:
         assert r in genome or km.revcomp(r) in genome
+
+
+def test_thread_reads_native_matches_numpy_on_error_reads():
+    """ct_thread_scan == the numpy scan on error-bearing shotgun reads with
+    repeats, Ns, and reverse-complemented reads (exact record parity)."""
+    from corticall_tpu import simulate as sim
+    rng = np.random.default_rng(95)
+    core = _genome(rng, 6000)
+    # 40bp repeat, spannable by a 90bp read (entry in-branch + exit junction
+    # inside one read is what emits a link)
+    genome = core[:2500] + core[800:840] + core[2500:]
+    k = 21
+    reads = sim.simulate_reads([genome], coverage=12, read_length=90,
+                               error_rate=0.01, seed=5)
+    reads[7] = reads[7][:40] + "N" + reads[7][41:]
+    g = bd.clean_graph(bd.build_graph_from_reads(reads, k, "c"),
+                       min_coverage=2)
+    a = bd.thread_reads(g, reads, "c", use_native=False)
+    b = bd.thread_reads(g, reads, "c", use_native=True)
+    assert _links_as_sets(a) == _links_as_sets(b)
+    assert len(b.records) > 0
+
+
+def test_infer_edges_native_matches_numpy():
+    """ct_infer_edges == the numpy sweeps in both modes on both word widths."""
+    from corticall_tpu import simulate as sim
+    from corticall_tpu.commands.core import subset_colors
+    rng = np.random.default_rng(94)
+    genome = _genome(rng, 8000)
+    for k in (21, 47):
+        reads = sim.simulate_reads([genome], coverage=8, read_length=100,
+                                   error_rate=0.01, seed=6)
+        g = bd.build_graph_from_reads(reads, k, "c")
+        g2 = subset_colors(g, [0], g.coverages[:, 0] >= 2)
+        for restrict in (False, True):
+            a = bd.infer_edges(g2, restrict=restrict, use_native=False)
+            b = bd.infer_edges(g2, restrict=restrict, use_native=True)
+            assert np.array_equal(a.edges, b.edges), (k, restrict)
