@@ -203,8 +203,12 @@ def find_shared(graph: gr.CortexGraph, roi: gr.CortexGraph, parents: list,
 
 
 def find_tips(graph: gr.CortexGraph, roi: gr.CortexGraph, parents: list,
-              links=()) -> gr.CortexGraph:
-    """Excluded = novel-kmer chains anchored at one end only (FindTips.java:43-140)."""
+              links=(), max_walk: int = 75000) -> gr.CortexGraph:
+    """Excluded = novel-kmer chains anchored at one end only (FindTips.java:43-140).
+
+    The production configuration (Simulate.wdl:890-904 passes no links) runs
+    ALL chain walks as one native/numpy batch plus one vectorized end-degree
+    pass — the per-ROI host engine survives only for the linked variant."""
     child = roi.sample_name(0)
     child_color = graph.color_for_sample(child)
     parent_colors = graph.colors_for_samples(parents)
@@ -213,27 +217,64 @@ def find_tips(graph: gr.CortexGraph, roi: gr.CortexGraph, parents: list,
     used = {s: False for s in roi_set}
     tips: set = set()
 
-    for s in sorted(used):
+    if links:
+        for s in sorted(used):
+            if used[s]:
+                continue
+            e = TraversalEngine(TraversalConfig(
+                graph=graph, traversal_colors=[child_color],
+                joining_colors=list(parent_colors), direction=BOTH,
+                combination=AND, stopping_rule=ContigStopper, rois=roi,
+                links=list(links)))
+            walk = e.walk(s)
+            if not walk:
+                continue
+            left, right = walk[0], walk[-1]
+            left_novel = left.canonical in roi_set
+            no_left = len(e.get_prev_vertices(left.kmer)) == 0
+            right_novel = right.canonical in roi_set
+            no_right = len(e.get_next_vertices(right.kmer)) == 0
+            is_tip = (left_novel and no_left) or (right_novel and no_right)
+            for v in walk:
+                if v.canonical in used:
+                    used[v.canonical] = True
+                    if is_tip:
+                        tips.add(v.canonical)
+        return _excluded_subset(roi, tips)
+
+    cks = sorted(used)
+    contigs = _batched_contigs(graph, child_color, cks, max_walk)
+    # vectorized end-degree pass: popcount of the oriented prev/next basemask
+    # of each chain's first/last kmer in child color
+    k = graph.kmer_size
+    lefts = [contigs[s][:k] for s in cks]
+    rights = [contigs[s][-k:] for s in cks]
+    lc, lf = km.canonicalize_codes(km.strings_to_codes(lefts))
+    rc_, rf = km.canonicalize_codes(km.strings_to_codes(rights))
+    li = graph.find_records(km.pack_codes(lc, k))
+    ri = graph.find_records(km.pack_codes(rc_, k))
+    le = np.where(li >= 0, graph.edges[np.maximum(li, 0), child_color], 0)
+    re_ = np.where(ri >= 0, graph.edges[np.maximum(ri, 0), child_color], 0)
+    lprev, _ = gr.edges_to_masks(le.astype(np.uint8), lf)
+    _, rnext = gr.edges_to_masks(re_.astype(np.uint8), rf)
+    pc4 = np.array([bin(x).count("1") for x in range(16)], dtype=np.uint8)
+    no_left_arr = pc4[lprev] == 0
+    no_right_arr = pc4[rnext] == 0
+    left_novel_arr = np.array(
+        [min(s, km.revcomp(s)) in roi_set for s in lefts])
+    right_novel_arr = np.array(
+        [min(s, km.revcomp(s)) in roi_set for s in rights])
+    novel_in = _novel_in_factory(roi, k)
+    for i, s in enumerate(cks):
         if used[s]:
             continue
-        e = TraversalEngine(TraversalConfig(
-            graph=graph, traversal_colors=[child_color],
-            joining_colors=list(parent_colors), direction=BOTH, combination=AND,
-            stopping_rule=ContigStopper, rois=roi, links=list(links)))
-        walk = e.walk(s)
-        if not walk:
-            continue
-        left, right = walk[0], walk[-1]
-        left_novel = left.canonical in roi_set
-        no_left = len(e.get_prev_vertices(left.kmer)) == 0
-        right_novel = right.canonical in roi_set
-        no_right = len(e.get_next_vertices(right.kmer)) == 0
-        is_tip = (left_novel and no_left) or (right_novel and no_right)
-        for v in walk:
-            if v.canonical in used:
-                used[v.canonical] = True
+        is_tip = bool((left_novel_arr[i] and no_left_arr[i])
+                      or (right_novel_arr[i] and no_right_arr[i]))
+        for canon in novel_in(contigs[s]):
+            if canon in used:
+                used[canon] = True
                 if is_tip:
-                    tips.add(v.canonical)
+                    tips.add(canon)
     return _excluded_subset(roi, tips)
 
 
@@ -367,6 +408,65 @@ def find_contamination(graph: gr.CortexGraph, roi: gr.CortexGraph, parents: list
 # ---------------------------------------------------------------------------
 # Partition (discover/call/Partition.java:55-269)
 # ---------------------------------------------------------------------------
+
+def _batched_contigs(graph: gr.CortexGraph, color: int, cks: list,
+                     max_walk: int, first_chunk: int = 512) -> dict:
+    """Bidirectional single-path contig per seed kmer string (ContigStopper
+    walk semantics, link-free) as one batch.  Returns {seed: contig}.
+
+    Walks run in growing rounds (first_chunk, 4x, 16x, ... up to max_walk
+    total): each round re-seeds only the walks that consumed the whole
+    previous allotment, so 20k short error-tip chains cost one small kernel
+    call while the rare chromosome-length chain still walks to its true end —
+    the classification the per-ROI host loop gave at 15x the wall-clock."""
+    from ..ops import walk as wk
+
+    k = graph.kmer_size
+    if not cks:
+        return {}
+
+    from .. import native as nat
+    wt = (nat.WalkTableNative(graph.kmers, graph.edges[:, color], k)
+          if nat.available() else None)
+
+    def batch_walk(seeds: list, steps: int):
+        if wt is not None:
+            b, cy, st = wt.walk(
+                km.pack_codes(km.strings_to_codes(seeds), k), steps)
+        else:
+            from ..ops import walk_np as wnp
+            b, cy, st = wnp.walk_forward_np(
+                graph, [color], km.strings_to_codes(seeds), steps)
+        return np.asarray(b).T, np.asarray(cy), np.asarray(st)
+
+    def extend_all(seeds: list) -> list:
+        """Full forward extension per seed (iterative rounds)."""
+        exts = [""] * len(seeds)
+        live = list(range(len(seeds)))
+        cur = list(seeds)
+        done_steps = 0
+        chunk = min(first_chunk, max_walk)
+        while live and done_steps < max_walk:
+            chunk = min(chunk, max_walk - done_steps)
+            b, cy, st = batch_walk([cur[i] for i in live], chunk)
+            nxt_live = []
+            for row, i in enumerate(live):
+                ext = wk.replay_walk(cur[i], b[row], bool(cy[row]), chunk)
+                exts[i] += ext
+                cur[i] = (cur[i] + ext)[-k:]
+                if not cy[row] and st[row] == chunk:
+                    nxt_live.append(i)
+            live = nxt_live
+            done_steps += chunk
+            chunk *= 4
+        return exts
+
+    rc = [km.revcomp(s) for s in cks]
+    fwd = extend_all(cks)
+    back = extend_all(rc)
+    return {s: (km.revcomp(b) if b else "") + s + f
+            for s, f, b in zip(cks, fwd, back)}
+
 
 def partition(graph: gr.CortexGraph, roi: gr.CortexGraph, links=(),
               link_novels: bool = False, max_walk: int = 20000,

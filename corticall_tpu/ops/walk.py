@@ -170,7 +170,9 @@ def replay_walk(seed: str, bases: np.ndarray, cycled: bool,
     that map.  Returns the extension string appended after the seed.
     """
     k = len(seed)
-    ext = "".join("ACGT"[b] for b in bases if b >= 0)
+    arr = np.asarray(bases)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ext = lut[arr[arr >= 0]].tobytes().decode()
     if not cycled:
         return ext
 

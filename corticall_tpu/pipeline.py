@@ -174,7 +174,8 @@ def run_pipeline(workdir: str, reads_by_sample: dict, child: str,
                 per["orphans"] = e.num_records
                 excluded.append(e)
             if "tips" in prefilters:
-                e = core.find_tips(joined, rois, parents, links=links)
+                # the WDL runs FindTips without links (Simulate.wdl:890-904)
+                e = core.find_tips(joined, rois, parents)
                 per["tips"] = e.num_records
                 excluded.append(e)
             if "dust" in prefilters:

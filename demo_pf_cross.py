@@ -1,20 +1,31 @@
 """Pf-scale cross demo: DNM-calling wall-clock on a P. falciparum-scale trio.
 
 BASELINE.md's measurement plan calls for simulated Pf-scale graphs (k=47,
-~21 Mbp core genome, trio colors) timed through FindROIs / Partition / Call —
-the reference's production path (Simulate.wdl:1209-1430: the Call task is
-provisioned 8 GiB / 2 cores per sample on GCP).  This demo runs that exact
-pipeline end to end on one host + one TPU chip:
+~21 Mbp core genome, trio colors) timed through the production path —
+the reference runs it as a Cromwell WDL (Simulate.wdl:620-1430: per-sample
+mccortex build/clean, read threading into links, Join, FindROIs, the
+prefilter chain, Partition, Call; the Call task is provisioned 8 GiB /
+2 cores per sample on GCP).  This demo runs that exact stage order end to
+end on one host + one TPU chip via pipeline.run_pipeline:
 
   simulate cross (recombinant child + injected DNMs)
-  -> build trio graph (k=47, 3 colors)
-  -> FindROIs -> Partition -> Call -> evaluate vs simulation truth
+  -> shotgun reads with errors per trio sample
+  -> Build+Clean per sample (native counting core) -> Join (k=47, 3 colors)
+  -> Thread reads into links per sample (native scan, indexed .ctp.bgz)
+  -> FindROIs -> prefilters (orphans/tips/dust/lowcov/lowcomplexity) ->
+  -> Partition with links (device kernel + host-oracle overflow replay)
+  -> Call with links -> evaluate vs simulation truth
 
-and prints per-stage wall-clock plus truth recall as JSON.
+and prints per-stage wall-clock, link-resolution counts, kmer-Venn AND
+strict coordinate+allele concordance per variant type as JSON.
 
 Env knobs: PF_MBP (total genome Mbp, default 21), PF_CHROMS (default 14),
 PF_DNMS (default 40), PF_K (default 47), PF_DIVERGENCE (parental SNP rate,
-default 0.003).
+default 0.003), PF_COVERAGE (read depth per sample, default 20),
+PF_READLEN (150), PF_ERR (read substitution error rate, default 0.002),
+PF_MODE ("reads" = production pipeline, "haplotype" = legacy whole-haplotype
+graph build without links), PF_WORKDIR (pipeline workdir, resumable;
+default /tmp/pf_demo_work), PF_DUMP (write per-call detail JSON here).
 """
 
 import json
@@ -27,14 +38,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def make_cross(rng, mbp: float, n_chroms: int, divergence: float):
-    """Two parental references: dad = mom with SNP divergence (vectorized)."""
+def make_cross(rng, mbp: float, n_chroms: int, divergence: float,
+               repeat_units: int = 8, repeat_copies: int = 40,
+               repeat_len: int = 75):
+    """Two parental references: dad = mom with SNP divergence (vectorized).
+
+    Dispersed repeat families (repeat_units distinct units, repeat_copies
+    copies each, repeat_len bp — longer than k, shorter than a read) are
+    pasted into the shared backbone: they collapse into graph junctions that
+    only link-following walks can traverse, the Pf var/rif-family analog the
+    linked configuration exists for (McCortex Fig 1; LinkStore.java:58-144).
+    """
     total = int(mbp * 1e6)
     sizes = np.full(n_chroms, total // n_chroms)
+    units = [rng.integers(0, 4, repeat_len, dtype=np.uint8)
+             for _ in range(repeat_units)]
     mom, dad = {}, {}
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     for i, n in enumerate(sizes):
         codes = rng.integers(0, 4, n, dtype=np.uint8)
+        for u in units:
+            for pos in rng.integers(0, n - repeat_len,
+                                    max(1, repeat_copies // n_chroms)):
+                codes[pos:pos + repeat_len] = u
         mut = rng.random(n) < divergence
         shift = rng.integers(1, 4, n, dtype=np.uint8)
         dcodes = np.where(mut, (codes + shift) % 4, codes).astype(np.uint8)
@@ -43,69 +69,14 @@ def make_cross(rng, mbp: float, n_chroms: int, divergence: float):
     return mom, dad
 
 
-def main():
-    from corticall_tpu import simulate as sim
-    from corticall_tpu.commands import core, more
-    from corticall_tpu.caller.call import Caller
-    from corticall_tpu.models.reference_index import IndexedReference
-
-    mbp = float(os.environ.get("PF_MBP", "21"))
-    n_chroms = int(os.environ.get("PF_CHROMS", "14"))
-    n_dnms = int(os.environ.get("PF_DNMS", "40"))
-    k = int(os.environ.get("PF_K", "47"))
-    divergence = float(os.environ.get("PF_DIVERGENCE", "0.003"))
-
-    rng = np.random.default_rng(42)
-    stages = {}
-
-    t0 = time.perf_counter()
-    mom, dad = make_cross(rng, mbp, n_chroms, divergence)
-    res = sim.simulate_haploid_child(mom, dad, parents=("mom", "dad"),
-                                     mu=2.0, num_variants=n_dnms, k=k, seed=7)
-    stages["simulate_s"] = round(time.perf_counter() - t0, 2)
-    truth = res["truth_vcf"]
-
-    t0 = time.perf_counter()
-    from corticall_tpu import build
-    gs = [build.build_graph_from_reads(seqs, k, name) for name, seqs in
-          [("kid", list(res["child"].values())),
-           ("mom", list(mom.values())),
-           ("dad", list(dad.values()))]]
-    g = core.join(gs)  # == fixtures.build_graph, via the C++ counting core
-    stages["build_graph_s"] = round(time.perf_counter() - t0, 2)
-
-    t0 = time.perf_counter()
-    rois = core.find_rois(g, "kid", ["mom", "dad"])
-    stages["find_rois_s"] = round(time.perf_counter() - t0, 2)
-    roi_stats = more.evaluate_rois(rois, res["kmers"])
-
-    # the pipeline trims partitions to novel span +-500 right after this, so
-    # a 4 kb contig cap loses nothing (the standalone command default is 40 kb)
-    t0 = time.perf_counter()
-    parts = core.partition(g, rois, max_walk=2000)
-    stages["partition_s"] = round(time.perf_counter() - t0, 2)
-
-    # the WDL pipeline trims partitions to the novel span before calling
-    # (TrimPartitions between Partition and Call)
+def evaluate(variants, truth, mom, dad, k):
+    """Concordance vs simulation truth: strict coordinate+allele recall per
+    type, plus the WDL's kmer-Venn metric (EvaluateAccuracy / ComputeVenn,
+    Simulate.wdl:1209-1330)."""
     from corticall_tpu import evaluation as ev
-    t0 = time.perf_counter()
-    roi_set = {rois.kmer_string(i) for i in range(rois.num_records)}
-    parts = ev.trim_partitions(parts, roi_set, k)
-    stages["trim_s"] = round(time.perf_counter() - t0, 2)
 
-    t0 = time.perf_counter()
-    refs = {"mom": IndexedReference(mom), "dad": IndexedReference(dad)}
-    stages["index_refs_s"] = round(time.perf_counter() - t0, 2)
-
-    t0 = time.perf_counter()
-    caller = Caller(g, rois, parts, backgrounds=["mom", "dad"],
-                    references=refs)
-    variants, _ = caller.call()
-    stages["call_s"] = round(time.perf_counter() - t0, 2)
-
-    # truth recall: a truth variant counts as recovered if a call of matching
-    # alleles lands within 25 bp on the same chromosome (aligner placement of
-    # indels may shift within homopolymer context)
+    # strict: matching alleles within 25 bp on the same chromosome (aligner
+    # placement of indels may shift within homopolymer context)
     def matches(tv, cv):
         if cv.chrom != tv.chrom or abs(cv.start - tv.start) > 25:
             return False
@@ -117,17 +88,20 @@ def main():
             return False
         return dt != 0 or cv.alleles[1] == tv.alleles[1]
 
-    recovered = sum(1 for tv in truth
-                    if any(matches(tv, cv) for cv in variants))
+    strict_by_type: dict = {}
+    strict_recovered = 0
+    for tv in truth:
+        t = strict_by_type.setdefault(tv.get_attr("TYPE", "UNK"),
+                                      {"tp": 0, "fn": 0})
+        if any(matches(tv, cv) for cv in variants):
+            t["tp"] += 1
+            strict_recovered += 1
+        else:
+            t["fn"] += 1
 
-    # the WDL's actual concordance metric: alt-haplotype kmer-Venn overlap
-    # (EvaluateAccuracy / ComputeVenn, Simulate.wdl:1209-1330).  Rows build
-    # their haplotype in their OWN anchor parent's frame (both produce real
-    # child kmers, so cross-anchored pairs still intersect); unmatched truth
-    # gets a combined-haplotype second chance in each parent frame, which
-    # credits alignment-decomposed MNPs/indel clusters.
-    from corticall_tpu import evaluation as ev
-
+    # kmer-Venn: alt-haplotype kmer overlap in each row's own anchor-parent
+    # frame; unmatched truth gets a combined-haplotype second chance (credits
+    # alignment-decomposed MNPs/indel clusters); NAHR credited by breakends
     def vrow(v):
         back = v.get_attr("BACKGROUND") or "mom"
         return {"chrom": f"{back}:{v.chrom}", "pos": v.start,
@@ -152,9 +126,6 @@ def main():
             if tks & cks:
                 matched.add(ti)
                 break
-    # NAHR events surface as symbolic breakend calls (no literal alt allele
-    # to kmerize; the reference likewise treats NAHR as multi-breakend
-    # evidence) — credit a breakend within 1 kb of the event
     breakends = [(cv.chrom, cv.start) for cv in variants if cv.is_symbolic()]
     for ti, (t, tv) in enumerate(zip(truth_rows, truth)):
         if ti in matched or t["info"]["TYPE"] != "NAHR-INS":
@@ -166,41 +137,192 @@ def main():
     for ti, t in enumerate(truth_rows):
         d = by_type.setdefault(t["info"]["TYPE"], {"tp": 0, "fn": 0})
         d["tp" if ti in matched else "fn"] += 1
-    venn = {"tp": len(matched), "fn": len(truth_rows) - len(matched),
-            "fp": venn["fp"], "by_type": by_type}
+    return {
+        "strict_recovered": strict_recovered,
+        "strict_by_type": strict_by_type,
+        "kmer_venn": {"tp": len(matched),
+                      "fn": len(truth_rows) - len(matched),
+                      "fp": venn["fp"]},
+        "venn_by_type": by_type,
+        "matched": matched,
+        "truth_rows": truth_rows,
+    }
 
+
+def main():
+    from corticall_tpu import simulate as sim
+    from corticall_tpu.models.reference_index import IndexedReference
+
+    mbp = float(os.environ.get("PF_MBP", "21"))
+    n_chroms = int(os.environ.get("PF_CHROMS", "14"))
+    n_dnms = int(os.environ.get("PF_DNMS", "40"))
+    k = int(os.environ.get("PF_K", "47"))
+    divergence = float(os.environ.get("PF_DIVERGENCE", "0.003"))
+    coverage = float(os.environ.get("PF_COVERAGE", "20"))
+    read_len = int(os.environ.get("PF_READLEN", "150"))
+    err = float(os.environ.get("PF_ERR", "0.002"))
+    mode = os.environ.get("PF_MODE", "reads")
+    workdir = os.environ.get("PF_WORKDIR", "/tmp/pf_demo_work")
+
+    rng = np.random.default_rng(42)
+    stages = {}
+
+    t0 = time.perf_counter()
+    mom, dad = make_cross(rng, mbp, n_chroms, divergence)
+    res = sim.simulate_haploid_child(mom, dad, parents=("mom", "dad"),
+                                     mu=2.0, num_variants=n_dnms, k=k, seed=7)
+    stages["simulate_s"] = round(time.perf_counter() - t0, 2)
+    truth = res["truth_vcf"]
+
+    if mode == "reads":
+        out = run_reads_pipeline(res, mom, dad, truth, k, coverage, read_len,
+                                 err, workdir, stages)
+    else:
+        out = run_haplotype_flow(res, mom, dad, truth, k, stages)
+
+    out["genome_mbp"] = mbp
+    out["k"] = k
+    out["colors"] = 3
+    out["injected_dnms"] = len(truth)
+    out["stages"] = {**stages, **out.get("stages", {})}
+    out["total_pipeline_s"] = round(sum(v for s, v in out["stages"].items()
+                                        if s != "simulate_s"), 2)
+    print(json.dumps(out))
+
+
+def run_reads_pipeline(res, mom, dad, truth, k, coverage, read_len, err,
+                       workdir, stages):
+    """The production configuration: error-bearing shotgun reads through the
+    full linked pipeline (pipeline.run_pipeline == Simulate.wdl stage order).
+    """
+    from corticall_tpu import pipeline as pl
+    from corticall_tpu import simulate as sim
+    from corticall_tpu.commands import more
+    from corticall_tpu.models.reference_index import IndexedReference
+
+    t0 = time.perf_counter()
+    reads = {
+        "kid": sim.simulate_reads(list(res["child"].values()), coverage,
+                                  read_len, err, seed=11),
+        "mom": sim.simulate_reads(list(mom.values()), coverage,
+                                  read_len, err, seed=12),
+        "dad": sim.simulate_reads(list(dad.values()), coverage,
+                                  read_len, err, seed=13),
+    }
+    stages["simulate_reads_s"] = round(time.perf_counter() - t0, 2)
+
+    refs = {"mom": IndexedReference(mom), "dad": IndexedReference(dad)}
+    result = pl.run_pipeline(
+        workdir, reads, child="kid", parents=["mom", "dad"],
+        references=refs, k=k, min_coverage=2, max_walk=2000,
+        log=lambda *a: print(*a, file=sys.stderr))
+
+    g = result["graph"]
+    rois = result["rois"]
+    variants = result["variants"]
+    stats = result["stats"]
+    roi_stats = more.evaluate_rois(rois, res["kmers"])
+
+    ev = evaluate(variants, truth, mom, dad, k)
+    out = {
+        "metric": "pf_scale_cross_linked_pipeline_wallclock",
+        "mode": "reads+links+prefilters",
+        "read_coverage": coverage,
+        "read_error_rate": err,
+        "graph_records": g.num_records,
+        "roi_kmers": rois.num_records,
+        "roi_tp": roi_stats["tp"], "roi_fn": roi_stats["fn"],
+        "prefilter": stats.get("prefilter", {}),
+        "links": {s: stats.get(f"thread_{s}", {}).get("kmers_with_links", 0)
+                  for s in ("kid", "mom", "dad")},
+        "partition_links": {kk: vv for kk, vv in stats.get("partition", {}).items()
+                            if kk.startswith(("link_", "overflow"))},
+        "partitions": len(result["partitions"]),
+        "calls": len(variants),
+        "truth_recovered": ev["strict_recovered"],
+        "strict_by_type": ev["strict_by_type"],
+        "kmer_venn": ev["kmer_venn"],
+        "venn_by_type": ev["venn_by_type"],
+        "stages": result["stages"],
+    }
+    _maybe_dump(ev, variants)
+    return out
+
+
+def run_haplotype_flow(res, mom, dad, truth, k, stages):
+    """Legacy fast configuration: whole-haplotype graph build, no links, no
+    prefilters (kept for wall-clock comparison with round-1 numbers)."""
+    from corticall_tpu import build, evaluation as evl
+    from corticall_tpu.commands import core, more
+    from corticall_tpu.caller.call import Caller
+    from corticall_tpu.models.reference_index import IndexedReference
+
+    t0 = time.perf_counter()
+    gs = [build.build_graph_from_reads(seqs, k, name) for name, seqs in
+          [("kid", list(res["child"].values())),
+           ("mom", list(mom.values())),
+           ("dad", list(dad.values()))]]
+    g = core.join(gs)
+    stages["build_graph_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    rois = core.find_rois(g, "kid", ["mom", "dad"])
+    stages["find_rois_s"] = round(time.perf_counter() - t0, 2)
+    roi_stats = more.evaluate_rois(rois, res["kmers"])
+
+    t0 = time.perf_counter()
+    parts = core.partition(g, rois, max_walk=2000)
+    stages["partition_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    roi_set = {rois.kmer_string(i) for i in range(rois.num_records)}
+    parts = evl.trim_partitions(parts, roi_set, k)
+    stages["trim_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    refs = {"mom": IndexedReference(mom), "dad": IndexedReference(dad)}
+    stages["index_refs_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    caller = Caller(g, rois, parts, backgrounds=["mom", "dad"],
+                    references=refs)
+    variants, _ = caller.call()
+    stages["call_s"] = round(time.perf_counter() - t0, 2)
+
+    ev = evaluate(variants, truth, mom, dad, k)
     out = {
         "metric": "pf_scale_cross_call_wallclock",
-        "genome_mbp": mbp, "k": k, "colors": 3,
+        "mode": "haplotype",
         "graph_records": g.num_records,
-        "injected_dnms": len(truth),
         "roi_kmers": rois.num_records,
         "roi_tp": roi_stats["tp"], "roi_fn": roi_stats["fn"],
         "partitions": len(parts),
         "calls": len(variants),
-        "truth_recovered": recovered,
-        "kmer_venn": {kk: venn[kk] for kk in ("tp", "fn", "fp")},
-        "venn_by_type": venn["by_type"],
-        "stages": stages,
-        "total_pipeline_s": round(sum(v for s, v in stages.items()
-                                      if s != "simulate_s"), 2),
+        "truth_recovered": ev["strict_recovered"],
+        "strict_by_type": ev["strict_by_type"],
+        "kmer_venn": ev["kmer_venn"],
+        "venn_by_type": ev["venn_by_type"],
     }
-    dump = os.environ.get("PF_DUMP")
-    if dump:
-        detail = {
-            "truth": [{**t, "matched": ti in matched}
-                      for ti, t in enumerate(truth_rows)],
-            "calls": [{"chrom": cv.chrom, "pos": cv.start,
-                       "alleles": list(cv.alleles),
-                       "background": cv.get_attr("BACKGROUND"),
-                       "mapq": cv.get_attr("flankMappingQuality"),
-                       "symbolic": cv.is_symbolic()}
-                      for cv in variants],
-        }
-        with open(dump, "w") as f:
-            json.dump(detail, f, indent=1)
+    _maybe_dump(ev, variants)
+    return out
 
-    print(json.dumps(out))
+
+def _maybe_dump(ev, variants):
+    dump = os.environ.get("PF_DUMP")
+    if not dump:
+        return
+    detail = {
+        "truth": [{**t, "matched": ti in ev["matched"]}
+                  for ti, t in enumerate(ev["truth_rows"])],
+        "calls": [{"chrom": cv.chrom, "pos": cv.start,
+                   "alleles": list(cv.alleles),
+                   "background": cv.get_attr("BACKGROUND"),
+                   "mapq": cv.get_attr("flankMappingQuality"),
+                   "symbolic": cv.is_symbolic()}
+                  for cv in variants],
+    }
+    with open(dump, "w") as f:
+        json.dump(detail, f, indent=1)
 
 
 if __name__ == "__main__":
