@@ -18,6 +18,8 @@ Method-by-method line citations are given inline.  Deliberate deviations:
 
 from __future__ import annotations
 
+import numpy as np
+
 from .. import kmer as km
 from ..models.tesserae import Tesserae
 from ..traversal import (BOTH, FORWARD, OR, REVERSE, TraversalConfig,
@@ -47,6 +49,7 @@ class Caller:
         self.split_distance = split_distance
         self.k = graph.kmer_size
         self.log = logger or (lambda *a: None)
+        self._walkers: dict = {}
 
     # ------------------------------------------------------------------
     # loaders (Call.java:2348-2381)
@@ -108,20 +111,171 @@ class Caller:
             combination=OR, stopping_rule=rule, max_branch_length=max_branch,
             links=self.links))
 
+    # ------------------------------------------------------------------
+    # batched chain walks (the dfs-with-ContigStopper hot path of
+    # fasterAssembleCandidateHaplotypes, Call.java:2126-2230, moved off the
+    # per-vertex host engine onto the batched walkers)
+    # ------------------------------------------------------------------
+    def _chain_walker(self, colors):
+        """Cached per-color-set batched walker: (native table or None, active
+        link set keys).  active follows the engine's _active_links sample
+        filter; link_keys is the union of canonical kmers carrying link
+        records — any chain touching one gets the exact host-oracle replay."""
+        key = tuple(colors)
+        w = self._walkers.get(key)
+        if w is None:
+            samples = {self.graph.sample_name(c) for c in colors}
+            active = [lm for lm in self.links if lm.sample_name in samples]
+            link_keys: set = set()
+            for lm in active:
+                link_keys |= set(getattr(lm, "records", None)
+                                 or getattr(lm, "index", {}))
+            from .. import native as nat
+            table = linked = None
+            if nat.available():
+                edges = np.bitwise_or.reduce(
+                    self.graph.edges[:, list(colors)], axis=1)
+                table = nat.WalkTableNative(
+                    np.ascontiguousarray(self.graph.kmers), edges, self.k)
+                if active:
+                    linked = nat.LinksWalkerNative(self.graph, list(colors),
+                                                   active)
+            w = (table, link_keys, linked)
+            self._walkers[key] = w
+        return w
+
+    def _batched_chain_exts(self, colors, seeds: list, max_branch: int):
+        """(fwd_ext, back_ext) per seed with exact dfs-with-ContigStopper
+        semantics, or None per seed where links could alter the walk (links
+        only ever EXTEND a chain past the link-free stop point, and only when
+        a walked kmer carries link records — so link-free chains not touching
+        the link key set are exact as-is; the rest are flagged for the
+        caller's host-oracle replay).  Returns None entirely when the native
+        library is unavailable."""
+        table, link_keys, linked = self._chain_walker(colors)
+        if table is None or not seeds:
+            return None
+        from ..ops.walk_np import replay_walk
+        k = self.k
+        rc = [km.revcomp(s) for s in seeds]
+        fb, fc, _ = table.walk(km.pack_codes(km.strings_to_codes(seeds), k),
+                               max_branch)
+        rb, rcy, _ = table.walk(km.pack_codes(km.strings_to_codes(rc), k),
+                                max_branch)
+        fb, rb = np.asarray(fb).T, np.asarray(rb).T
+        out = []
+        relink: list = []                     # indices needing the linked walk
+        for i, s in enumerate(seeds):
+            fwd = replay_walk(s, fb[i], bool(fc[i]), max_branch)
+            back = replay_walk(rc[i], rb[i], bool(rcy[i]), max_branch)
+            if link_keys:
+                path = (km.revcomp(back) if back else "") + s + fwd
+                codes = km.string_to_codes_permissive(path)
+                wins = km.kmerize_codes(codes, k)
+                canon, _ = km.canonicalize_codes(wins)
+                if any(w in link_keys
+                       for w in km.codes_to_strings(canon)):
+                    relink.append(i)
+                    out.append(None)
+                    continue
+            out.append((fwd, back))
+        if relink and linked is not None:
+            # exact link-assisted walks (native unbounded LinkStore)
+            ss = [seeds[i] for i in relink]
+            f, _ = linked.walk(ss, max_branch)
+            bk, _ = linked.walk([km.revcomp(s) for s in ss], max_branch)
+            for j, i in enumerate(relink):
+                out[i] = (f[j], bk[j])
+        return out
+
+    def _path_graph_from_exts(self, seed: str, fwd_ext: str, back_ext: str,
+                              color: int) -> Subgraph:
+        """Rebuild the Subgraph engine.dfs(seed) (BOTH, ContigStopper) would
+        return, from the walked extensions: a linear path with the engine's
+        copy-index rule (occurrence count per walk-orientation kmer, negative
+        on the reverse side; TraversalEngine.java:380-407) and the post-dfs
+        direction index tags (+1 forward / -1 reverse / 0 seed)."""
+        g = Subgraph()
+        if not fwd_ext and not back_ext:
+            return g                      # host dfs returns an empty graph too
+        k = self.k
+        path = (km.revcomp(back_ext) if back_ext else "") + seed + fwd_ext
+        sp = len(back_ext)                # seed window index
+        codes = km.string_to_codes_permissive(path)
+        windows = km.kmerize_codes(codes, k)
+        canon, _ = km.canonicalize_codes(windows)
+        recs = self.graph.find_records(km.pack_codes(canon, k))
+        wins = km.codes_to_strings(windows)
+
+        n = len(wins)
+        verts: list = [None] * n
+        occ: dict = {}
+        for i in range(sp, n):
+            c = occ.get(wins[i], 0)
+            occ[wins[i]] = c + 1
+            verts[i] = Vertex(wins[i], int(recs[i]), c, 1 if i > sp else 0)
+        occ = {}
+        for i in range(sp, -1, -1):
+            c = occ.get(wins[i], 0)
+            occ[wins[i]] = c + 1
+            if i == sp:
+                continue                  # seed vertex from the forward pass
+            verts[i] = Vertex(wins[i], int(recs[i]), -c, -1)
+        if verts[sp] is None:             # back_ext only
+            verts[sp] = Vertex(wins[sp], int(recs[sp]), 0, 0)
+        for v in verts:
+            g.add_vertex(v)
+        for i in range(n - 1):
+            g.add_edge(verts[i], verts[i + 1], color)
+        return g
+
     def assemble_candidate_haplotypes(self, ws: list, parent_name: str) -> dict:
         colors = self.graph.colors_for_samples([parent_name])
         g = Subgraph()
         g_kmers: set = set()
 
-        e = self._engine(colors, BOTH, ContigStopper, max_branch=len(ws))
-
         contigs: set = set()
+        seeds, seen_seeds = [], set()
         for v in ws:
-            has_cov = any(v.rec >= 0 and self.graph.coverage(v.rec, c) > 0 for c in colors)
-            if has_cov and v.kmer not in g_kmers:
-                gs = e.dfs(v.kmer)
+            has_cov = any(v.rec >= 0 and self.graph.coverage(v.rec, c) > 0
+                          for c in colors)
+            if has_cov and v.kmer not in seen_seeds:
+                seen_seeds.add(v.kmer)
+                seeds.append(v.kmer)
+        exts = self._batched_chain_exts(colors, seeds, max_branch=len(ws))
+
+        if exts is None:
+            e = self._engine(colors, BOTH, ContigStopper, max_branch=len(ws))
+            for s in seeds:
+                if s in g_kmers:
+                    continue
+                gs = e.dfs(s)
                 if gs is not None and gs.num_vertices() > 0:
-                    contigs.add(to_contig(to_walk(gs, v.kmer, colors[0])))
+                    contigs.add(to_contig(to_walk(gs, s, colors[0])))
+                    g.add_graph(gs)
+                    g_kmers.update(x.kmer for x in gs.vertices())
+        else:
+            replay_engine = None
+            for s, ext in zip(seeds, exts):
+                if s in g_kmers:
+                    continue
+                if ext is None:           # device link-cap overflow lane
+                    if replay_engine is None:
+                        replay_engine = self._engine(colors, BOTH,
+                                                     ContigStopper,
+                                                     max_branch=len(ws))
+                    gs = replay_engine.dfs(s)
+                    if gs is not None and gs.num_vertices() > 0:
+                        contigs.add(to_contig(to_walk(gs, s, colors[0])))
+                        g.add_graph(gs)
+                        g_kmers.update(x.kmer for x in gs.vertices())
+                    continue
+                fwd_ext, back_ext = ext
+                gs = self._path_graph_from_exts(s, fwd_ext, back_ext,
+                                                colors[0])
+                if gs.num_vertices() > 0:
+                    contigs.add((km.revcomp(back_ext) if back_ext else "")
+                                + s + fwd_ext)
                     g.add_graph(gs)
                     g_kmers.update(x.kmer for x in gs.vertices())
 
@@ -208,12 +362,29 @@ class Caller:
                     g.add_graph(gg)
 
     def extend_flanks(self, colors, g: Subgraph, in_ends, out_ends) -> None:
-        eb = self._engine(colors, BOTH, ContigStopper, max_branch=500)
-        for cvs in (in_ends, out_ends):
-            for cv in sorted(cvs, key=lambda v: v.kmer):
-                gg = eb.dfs(cv.kmer)
+        seeds = [cv.kmer for cvs in (in_ends, out_ends)
+                 for cv in sorted(cvs, key=lambda v: v.kmer)]
+        exts = self._batched_chain_exts(colors, seeds, max_branch=500)
+        if exts is None:
+            eb = self._engine(colors, BOTH, ContigStopper, max_branch=500)
+            for s in seeds:
+                gg = eb.dfs(s)
                 if gg is not None and gg.num_vertices() > 0:
                     g.add_graph(gg)
+            return
+        replay_engine = None
+        for s, ext in zip(seeds, exts):
+            if ext is None:               # device link-cap overflow lane
+                if replay_engine is None:
+                    replay_engine = self._engine(colors, BOTH, ContigStopper,
+                                                 max_branch=500)
+                gg = replay_engine.dfs(s)
+                if gg is not None and gg.num_vertices() > 0:
+                    g.add_graph(gg)
+                continue
+            gg = self._path_graph_from_exts(s, ext[0], ext[1], colors[0])
+            if gg.num_vertices() > 0:
+                g.add_graph(gg)
 
     # ------------------------------------------------------------------
     # query trimming + target labelling (Call.java:1920-1986)

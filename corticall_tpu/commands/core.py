@@ -553,21 +553,45 @@ def _greedy_emit(cks: list, contigs: dict, roi: gr.CortexGraph, k: int) -> list:
     return out
 
 
+# linked Partition routes through the native C++ walker (exact unbounded
+# LinkStore, no compile) at or below this seed count; above it the batched
+# device kernel amortizes its XLA compile.  Tests set -1 to force the device.
+_NATIVE_LINK_THRESHOLD = 65536
+
+
 def _partition_links_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
                             links: list, max_walk: int,
                             stats: dict | None = None,
                             checkpoint: str | None = None,
                             chunk: int = 16384) -> list:
-    """Partition with link-assisted walks on device (the production linked
-    configuration; Simulate.wdl threads links before Partition/Call)."""
-    from ..ops import walk_links as wl
+    """Partition with link-assisted walks (the production linked
+    configuration; Simulate.wdl threads links before Partition/Call): the
+    native exact walker for small batches, the fixed-capacity device kernel
+    (ops/walk_links.py) with native/host overflow replay beyond."""
     from ..utils import checkpoint as ckpt
+    from .. import native as nat
 
     k = graph.kmer_size
     cks = sorted(roi.kmer_string(i) for i in range(roi.num_records))
     if not cks:
         return []
     child_color = graph.color_for_sample(roi.sample_name(0))
+
+    use_native = nat.available() and len(cks) <= _NATIVE_LINK_THRESHOLD
+    native_walker = (nat.LinksWalkerNative(graph, [child_color], links)
+                     if use_native else None)
+    if native_walker is None:
+        from ..ops import walk_links as wl
+
+    def assemble_chunk(seeds):
+        if native_walker is not None:
+            f, jf = native_walker.walk(seeds, max_walk)
+            rcs = [km.revcomp(s) for s in seeds]
+            bk, jb = native_walker.walk(rcs, max_walk)
+            cl = [(km.revcomp(bb) if bb else "") + s + ff
+                  for s, ff, bb in zip(seeds, f, bk)]
+            return cl, np.zeros(len(seeds), bool), jf + jb
+        return walker.assemble(seeds, num_steps=max_walk)
 
     fp = ckpt.graph_fingerprint(graph) if checkpoint else ""
     start_at = 0
@@ -582,9 +606,10 @@ def _partition_links_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
             overflow = np.asarray(payload["overflow"], dtype=bool)
             junctions = np.asarray(payload["junctions"], dtype=np.int64)
 
-    walker = wl.LinkedWalker(graph, [child_color], links)
+    walker = (wl.LinkedWalker(graph, [child_color], links)
+              if native_walker is None else None)
     for lo in range(start_at, len(cks), chunk):
-        cl, of, jn = walker.assemble(cks[lo:lo + chunk], num_steps=max_walk)
+        cl, of, jn = assemble_chunk(cks[lo:lo + chunk])
         contig_list.extend(cl)
         overflow = np.concatenate([overflow, of])
         junctions = np.concatenate([junctions, jn.astype(np.int64)])
@@ -597,23 +622,33 @@ def _partition_links_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
         ckpt.clear_chunk_state(checkpoint)
     contigs = dict(zip(cks, contig_list))
 
-    # host-oracle replay for walks whose link state overflowed the device caps
+    # exact replay for walks whose link state overflowed the device caps:
+    # the native unbounded walker when available, the host engine otherwise
     n_replay = int(overflow.sum())
     if n_replay:
-        e = TraversalEngine(TraversalConfig(
-            graph=graph, traversal_colors=[child_color], direction=BOTH,
-            combination=OR, stopping_rule=ContigStopper, rois=roi,
-            links=links, max_branch_length=max_walk))
-        for i in np.nonzero(overflow)[0]:
-            s = cks[int(i)]
-            g = e.dfs(s)
-            w = to_walk(g, s, child_color, graph=graph)
-            contigs[s] = to_contig(w) if w else s
+        idxs = [int(i) for i in np.nonzero(overflow)[0]]
+        if nat.available():
+            rw = nat.LinksWalkerNative(graph, [child_color], links)
+            seeds = [cks[i] for i in idxs]
+            f, _ = rw.walk(seeds, max_walk)
+            bk, _ = rw.walk([km.revcomp(s) for s in seeds], max_walk)
+            for i, ff, bb in zip(idxs, f, bk):
+                contigs[cks[i]] = (km.revcomp(bb) if bb else "") + cks[i] + ff
+        else:
+            e = TraversalEngine(TraversalConfig(
+                graph=graph, traversal_colors=[child_color], direction=BOTH,
+                combination=OR, stopping_rule=ContigStopper, rois=roi,
+                links=links, max_branch_length=max_walk))
+            for i in idxs:
+                s = cks[i]
+                g = e.dfs(s)
+                w = to_walk(g, s, child_color, graph=graph)
+                contigs[s] = to_contig(w) if w else s
 
     if stats is not None:
         stats["link_junctions_resolved"] = int(junctions.sum())
         stats["overflow_replays"] = n_replay
-        stats["link_records_truncated"] = walker.truncated
+        stats["link_records_truncated"] = getattr(walker, "truncated", 0)
     return _greedy_emit(cks, contigs, roi, k)
 
 

@@ -265,6 +265,45 @@ def open_links(path):
 # fixture builder (TempLinksAssembler semantics)
 # ---------------------------------------------------------------------------
 
+def merge_prefix_links(ld: LinksData) -> LinksData:
+    """Drop link records whose junction-choice string is a proper prefix of a
+    longer same-orientation record on the same kmer, summing coverages into
+    the survivor (McCortex's thread path-store merges prefix paths the same
+    way).  Walk-exact: prefix elements enter the LinkStore at the same age as
+    their extension, always agree with it at every shared junction, and
+    expire no later — so removing them cannot change any junction choice
+    (LinkStore.java:58-144; traversal/linkstore.py).  Applied by the pipeline
+    between Thread and IndexLinks to keep per-kmer record counts (and the
+    device walker's fixed caps, ops/walk_links.py) small."""
+    out = LinksData(sample_name=ld.sample_name, kmer_size=ld.kmer_size,
+                    num_kmers_in_graph=ld.num_kmers_in_graph)
+    for key, recs in ld.records.items():
+        kept = []
+        for r in recs:
+            extended = any(
+                o is not r and o.forward == r.forward
+                and len(o.choices) > len(r.choices)
+                and o.choices.startswith(r.choices)
+                for o in recs)
+            if not extended:
+                kept.append(r)
+        # fold absorbed coverage into the (first) maximal extension
+        merged = []
+        for r in kept:
+            absorbed = sum(
+                o.coverages[0] for o in recs
+                if o is not r and o.forward == r.forward
+                and r.choices.startswith(o.choices)
+                and len(o.choices) < len(r.choices))
+            if absorbed:
+                r = JunctionRecord(r.forward, r.num_kmers,
+                                   (r.coverages[0] + absorbed,)
+                                   + tuple(r.coverages[1:]), r.choices)
+            merged.append(r)
+        out.records[key] = merged
+    return out
+
+
 def build_links(graph: gr.CortexGraph, haplotypes: dict, sample_name: str) -> LinksData:
     """Thread reads through the graph to produce link records.
 

@@ -97,6 +97,18 @@ def get_lib():
         ctypes.POINTER(_u64p), ctypes.POINTER(_u64p),
         ctypes.POINTER(_u8p), ctypes.POINTER(_i64p), ctypes.POINTER(_u8p),
     ]
+    lib.ct_links_walker_build.restype = ctypes.c_void_p
+    lib.ct_links_walker_build.argtypes = [
+        _u64p, _u64p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.c_int32, _i64p, ctypes.POINTER(ctypes.c_uint8), _i64p,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    lib.ct_links_walker_free.argtypes = [ctypes.c_void_p]
+    lib.ct_walk_links_host.argtypes = [
+        ctypes.c_void_p, _u64p, _u64p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     _lib = lib
     return _lib
 
@@ -387,6 +399,108 @@ def walk_forward_host(graph_kmers: np.ndarray, edges_combined: np.ndarray,
     finally:
         lib.ct_walk_table_free(handle)
     return bases.T.copy(), cycled.astype(bool), steps
+
+
+class LinksWalkerNative:
+    """Host link-assisted walker: exact unbounded LinkStore semantics
+    (ct_walk_links_host; twin of traversal/linkstore.py + the engine cursor).
+    No capacity caps, no XLA compile — the production path for small seed
+    batches and for device-cap overflow replay.
+
+    graph/colors/links_list mirror ops/walk_links.LinkedWalker; link records
+    are packed per graph record in links-file order (the engine's
+    _add_links_for insertion order)."""
+
+    def __init__(self, graph, colors, links_list):
+        lib = get_lib()
+        if lib is None or graph.kmer_size > 64:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.k = graph.kmer_size
+        import numpy as _np
+
+        edges = _np.bitwise_or.reduce(graph.edges[:, list(colors)], axis=1)
+        n = graph.num_records
+
+        # CSR of link records aligned with graph record order
+        from . import kmer as km
+        per_record: dict[int, list] = {}
+        samples = {graph.sample_name(c) for c in colors}
+        for lm in links_list:
+            if lm.sample_name not in samples:
+                continue
+            keys = list(getattr(lm, "records", None) or lm.index)
+            if not keys:
+                continue
+            recs_idx = graph.find_records(
+                km.pack_codes(km.strings_to_codes(keys), self.k))
+            for s, rec in zip(keys, recs_idx):
+                if rec < 0:
+                    continue
+                jrs = (lm.records[s] if hasattr(lm, "records")
+                       else lm.get(s))
+                per_record.setdefault(int(rec), []).extend(jrs)
+
+        loff = _np.zeros(n + 1, dtype=_np.int64)
+        fw_l, ch_l, choff_l = [], [], [0]
+        total = 0
+        code = {"A": 0, "C": 1, "G": 2, "T": 3}
+        pos = 0
+        for r in range(n):
+            loff[r] = pos
+            for jr in per_record.get(r, ()):
+                fw_l.append(1 if jr.forward else 0)
+                ch_l.extend(code[c] for c in jr.choices)
+                total += len(jr.choices)
+                choff_l.append(total)
+                pos += 1
+        loff[n] = pos
+
+        fw = _np.asarray(fw_l, dtype=_np.uint8)
+        choff = _np.asarray(choff_l, dtype=_np.int64)
+        chpool = _np.asarray(ch_l, dtype=_np.uint8)
+        khi, klo = _words_to_hilo(_np.ascontiguousarray(graph.kmers))
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        self._handle = lib.ct_links_walker_build(
+            khi.ctypes.data_as(u64p), klo.ctypes.data_as(u64p),
+            _np.ascontiguousarray(edges, dtype=_np.uint8).ctypes.data_as(u8p),
+            n, self.k, loff.ctypes.data_as(i64p),
+            fw.ctypes.data_as(u8p) if len(fw) else u8p(),
+            choff.ctypes.data_as(i64p), len(fw),
+            chpool.ctypes.data_as(u8p) if len(chpool) else u8p(),
+            len(chpool))
+
+    def walk(self, seeds: list, max_steps: int):
+        """Forward link-assisted extensions from walk-orientation seed kmer
+        strings.  Returns (ext strings, junctions int32[B])."""
+        from . import kmer as km
+        b = len(seeds)
+        if not b:
+            return [], np.zeros(0, np.int32)
+        shi, slo = _words_to_hilo(
+            km.pack_codes(km.strings_to_codes(seeds), self.k))
+        bases = np.empty((b, max_steps), dtype=np.int8)
+        steps = np.zeros(b, dtype=np.int32)
+        junctions = np.zeros(b, dtype=np.int32)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        self._lib.ct_walk_links_host(
+            self._handle, shi.ctypes.data_as(u64p), slo.ctypes.data_as(u64p),
+            b, max_steps,
+            bases.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            steps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            junctions.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+        exts = [lut[bases[i, :steps[i]]].tobytes().decode() for i in range(b)]
+        return exts, junctions
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.ct_links_walker_free(self._handle)
+        except Exception:
+            pass
 
 
 class WalkTableNative:

@@ -35,10 +35,10 @@ from . import cuckoo as ck
 from . import kmer_jax as kj
 from .. import kmer as km
 
-CAP = 16                 # active link elements per walk
+CAP = 32                 # active link elements per walk
 MAX_J = 32               # junction choices per link record
 JW = (MAX_J + 15) // 16  # uint32 words per choice string
-MAX_ADD = 8              # link records appended per kmer arrival
+MAX_ADD = 16             # link records appended per kmer arrival
 
 
 @dataclass
@@ -132,30 +132,38 @@ def walk_links_forward(buckets, edges_combined, link_off, link_choices,
         edge, rec = lookup_edge_and_rec(canon)
 
         # -- 1. add links of the current kmer ------------------------------
+        # vectorized slot assignment (one block, not an unrolled MAX_ADD loop
+        # — the unrolled form made the scan body ~16x larger and blew the XLA
+        # compile to minutes on a real chip): record j (insertion order) maps
+        # to the free slot of equal rank via a (B, CAP, MAX_ADD) match.
         off = jnp.where(rec >= 0, link_off[jnp.maximum(rec, 0)], 0)
         cnt = jnp.where(rec >= 0,
                         link_off[jnp.maximum(rec, 0) + 1] - off, 0)
-        added_any = jnp.zeros(b, bool)
-        for j in range(MAX_ADD):
-            has = (j < cnt) & active
-            idx = jnp.minimum(off + j, link_choices.shape[0] - 1)
-            fw_rec = link_fw[idx]
-            gate = has & (fw_rec == ~flipped)
-            # first free slot (argmin over valid: False < True)
-            free_slot = jnp.argmin(el_valid, axis=1)
-            has_free = ~jnp.all(el_valid, axis=1)
-            overflow = overflow | (gate & ~has_free)
-            do = gate & has_free
-            onehot = (jax.lax.broadcasted_iota(jnp.int32, (b, CAP), 1)
-                      == free_slot[:, None]) & do[:, None]
-            el_choices = jnp.where(onehot[..., None], link_choices[idx][:, None, :],
-                                   el_choices)
-            el_len = jnp.where(onehot, link_len[idx][:, None], el_len)
-            el_pos = jnp.where(onehot, 0, el_pos)
-            el_age = jnp.where(onehot, 0, el_age)
-            el_seq = jnp.where(onehot, seq_counter[:, None] + j, el_seq)
-            el_valid = el_valid | onehot
-            added_any = added_any | do
+        ma = max(MAX_ADD, 1)                  # MAX_ADD=0: tests force overflow
+        jj = jax.lax.broadcasted_iota(jnp.int32, (b, ma), 1)
+        idx = jnp.minimum(off[:, None] + jj, link_choices.shape[0] - 1)
+        gate = (jj < jnp.minimum(cnt, MAX_ADD)[:, None]) & active[:, None] \
+            & (link_fw[idx] == ~flipped[:, None])
+        # rank of record j among gated records (0-based), rank of each free
+        # slot among free slots (0-based)
+        rank_add = jnp.cumsum(gate.astype(jnp.int32), axis=1) - 1
+        free = ~el_valid
+        rank_free = jnp.cumsum(free.astype(jnp.int32), axis=1) - 1
+        num_free = jnp.sum(free.astype(jnp.int32), axis=1)
+        assign = (free[:, :, None]
+                  & gate[:, None, :]
+                  & (rank_free[:, :, None] == rank_add[:, None, :]))
+        filled = jnp.any(assign, axis=2)
+        j_for_slot = jnp.argmax(assign, axis=2)
+        src = jnp.take_along_axis(idx, j_for_slot, axis=1)
+        el_choices = jnp.where(filled[..., None], link_choices[src], el_choices)
+        el_len = jnp.where(filled, link_len[src], el_len)
+        el_pos = jnp.where(filled, 0, el_pos)
+        el_age = jnp.where(filled, 0, el_age)
+        el_seq = jnp.where(filled, seq_counter[:, None] + j_for_slot, el_seq)
+        el_valid = el_valid | filled
+        overflow = overflow | jnp.any(gate & (rank_add >= num_free[:, None]),
+                                      axis=1)
         seq_counter = seq_counter + MAX_ADD
         overflow = overflow | (cnt > MAX_ADD)
 
@@ -290,6 +298,34 @@ class LinkedWalker:
                      jnp.asarray(la.offsets), jnp.asarray(la.choices),
                      jnp.asarray(la.lengths), jnp.asarray(la.forward))
         self.truncated = la.truncated
+
+    def walk_split(self, seeds: list, num_steps: int = 1024,
+                   max_branch: int | None = None, chunk: int = 16384):
+        """Per-direction link-assisted extensions: returns (fwd_exts,
+        back_exts, overflow bool[B], junctions int32[B]).  num_steps sets the
+        (bucketable) device walk length; max_branch bounds the decoded
+        extension (TraversalEngineConfiguration.maxBranchLength semantics)."""
+        k = self.k
+        mb = max_branch if max_branch is not None else num_steps
+        fwd_exts: list = []
+        back_exts: list = []
+        overflow = np.zeros(len(seeds), dtype=bool)
+        junctions = np.zeros(len(seeds), dtype=np.int32)
+        for lo in range(0, len(seeds), chunk):
+            part = seeds[lo:lo + chunk]
+            rc_strs = [km.revcomp(s) for s in part]
+            fwd = jnp.asarray(km.pack_codes(km.strings_to_codes(part), k))
+            rev = jnp.asarray(km.pack_codes(km.strings_to_codes(rc_strs), k))
+            fe, fo, _, fj = walk_links_forward(*self.args, fwd, k, num_steps)
+            re_, ro, _, rj = walk_links_forward(*self.args, rev, k, num_steps)
+            fe = np.asarray(fe).T
+            re_ = np.asarray(re_).T
+            overflow[lo:lo + len(part)] = np.asarray(fo) | np.asarray(ro)
+            junctions[lo:lo + len(part)] = np.asarray(fj) + np.asarray(rj)
+            for i, seed in enumerate(part):
+                fwd_exts.append(decode_linked_walk(seed, fe[i], mb))
+                back_exts.append(decode_linked_walk(rc_strs[i], re_[i], mb))
+        return fwd_exts, back_exts, overflow, junctions
 
     def assemble(self, seeds: list, num_steps: int = 1024, chunk: int = 16384):
         """Bidirectional link-assisted contigs (TraversalEngine.assemble with

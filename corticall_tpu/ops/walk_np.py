@@ -71,3 +71,44 @@ def walk_forward_np(graph: gr.CortexGraph, colors, seed_codes: np.ndarray,
 
     steps = (bases >= 0).sum(axis=0).astype(np.int32)
     return bases, cycles, steps
+
+
+def replay_walk(seed: str, bases: np.ndarray, cycled: bool,
+                max_branch_length: int = 75000) -> str:
+    """Rebuild the walked extension with the reference's exact stopping rule.
+
+    Without links the single-successor function is deterministic per kmer, so
+    the device recording (which may overshoot around a cycle before Brent
+    detection, or stop slightly early) fully determines the successor map; we
+    replay the reference's seen-set semantics (TraversalEngine.java:241-279:
+    emit the cursor kmer, then stop when the *following* kmer was already
+    stepped onto — the seed and first step are never in the seen set) over
+    that map.  Returns the extension string appended after the seed.
+    """
+    k = len(seed)
+    arr = np.asarray(bases)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ext = lut[arr[arr >= 0]].tobytes().decode()
+    if not cycled:
+        return ext
+
+    # successor map from the recorded path (covers the full cycle: Brent's
+    # anchor sits on the cycle for >= one full lap before detection)
+    seq = seed + ext
+    succ: dict[str, str] = {}
+    for i in range(len(seq) - k):
+        succ.setdefault(seq[i:i + k], seq[i + k])
+
+    out = []
+    seen: set[str] = set()
+    nxt = seed[1:] + succ[seed] if seed in succ else None
+    while nxt is not None and len(out) < max_branch_length:
+        out.append(nxt[-1])
+        b = succ.get(nxt)
+        f = nxt[1:] + b if b is not None else None
+        if f is not None and f not in seen:
+            seen.add(f)
+            nxt = f
+        else:
+            nxt = None
+    return "".join(out)

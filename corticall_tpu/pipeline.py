@@ -150,7 +150,8 @@ def run_pipeline(workdir: str, reads_by_sample: dict, child: str,
     links: list = []
     for s in link_samples:
         def compute(path_bgz, s=s):
-            ld = bd.thread_reads(joined, reads_by_sample[s], s)
+            ld = lkio.merge_prefix_links(
+                bd.thread_reads(joined, reads_by_sample[s], s))
             lkio.write_links_indexed(path_bgz, ld, source=f"{s}.reads")
             return ld, {"kmers_with_links": len(ld)}
         links.append(pl.stage(

@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -611,6 +612,278 @@ void ct_infer_edges(const uint64_t* khi, const uint64_t* klo,
         uint8_t inferred = (uint8_t)((REV4[in_new] << 4) | out_new);
         edges[i] = mode == 1 ? (uint8_t)(e & inferred)
                              : (uint8_t)(e | inferred);
+    }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host linked walker: exact McCortex link-following with an UNBOUNDED link
+// store (twin of traversal/linkstore.py == LinkStore.java:58-144 and the
+// engine cursor TraversalEngine.java:241-279).  This is the correctness
+// oracle at native speed: no per-walk capacity caps, no XLA compile — the
+// production path for small seed batches and for device-cap overflow replay.
+
+namespace {
+
+struct LWSlot { uint64_t hi, lo; int64_t idx; };
+
+struct LinksWalkTable {
+    std::vector<LWSlot> slots;
+    uint64_t mask;
+    int32_t k;
+    std::vector<uint8_t> edges;    // combined edge byte per record
+    std::vector<int64_t> loff;     // n+1 CSR into records
+    std::vector<uint8_t> lfw;      // P
+    std::vector<int64_t> choff;    // P+1 CSR into pool
+    std::vector<uint8_t> pool;     // junction-choice codes 0..3
+};
+
+struct LSElement { int32_t age, pos; };
+
+struct LSGroup {
+    const uint8_t* junc;           // pool pointer (forward walks: identity)
+    int32_t len;
+    std::vector<LSElement> els;    // empty == dead group
+};
+
+struct Key128 {
+    uint64_t hi, lo;
+    bool operator==(const Key128& o) const { return hi == o.hi && lo == o.lo; }
+};
+struct Key128Hash {
+    size_t operator()(const Key128& x) const {
+        return (size_t)mix64(x.hi ^ mix64(x.lo));
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ct_links_walker_build(const uint64_t* khi, const uint64_t* klo,
+                            const uint8_t* edges, int64_t n, int32_t k,
+                            const int64_t* loff, const uint8_t* lfw,
+                            const int64_t* choff, int64_t nrecs,
+                            const uint8_t* chpool, int64_t pool_len) {
+    LinksWalkTable* t = new LinksWalkTable();
+    uint64_t cap = 16;
+    while (cap < (uint64_t)(n + n / 2 + 1)) cap <<= 1;
+    t->slots.assign(cap, LWSlot{0, 0, -1});
+    t->mask = cap - 1;
+    t->k = k;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = mix64(khi[i] ^ mix64(klo[i])) & t->mask;
+        while (t->slots[h].idx >= 0) h = (h + 1) & t->mask;
+        t->slots[h] = LWSlot{khi[i], klo[i], i};
+    }
+    t->edges.assign(edges, edges + n);
+    t->loff.assign(loff, loff + n + 1);
+    t->lfw.assign(lfw, lfw + (nrecs ? nrecs : 0));
+    t->choff.assign(choff, choff + nrecs + 1);
+    t->pool.assign(chpool, chpool + pool_len);
+    return t;
+}
+
+void ct_links_walker_free(void* p) { delete (LinksWalkTable*)p; }
+
+// Forward walks with link following; reverse = walk from the revcomp seed.
+// out_bases: int8[b * max_steps] (-1 padded); out_junctions counts junction
+// advances resolved by a link choice.
+void ct_walk_links_host(void* handle, const uint64_t* shi, const uint64_t* slo,
+                        int64_t b, int32_t max_steps,
+                        int8_t* out_bases, int32_t* out_steps,
+                        int32_t* out_junctions) {
+    const LinksWalkTable* t = (const LinksWalkTable*)handle;
+    const int32_t k = t->k;
+    const int shift_top = 2 * (k - 1);
+    const bool one_word = k <= 32;
+    const uint64_t lo_mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    const uint64_t hi_mask = (k <= 32) ? 0ULL
+                            : ((k == 64) ? ~0ULL : ((1ULL << (2 * (k - 32))) - 1));
+
+    auto lookup = [&](uint64_t chi, uint64_t clo) -> int64_t {
+        uint64_t h = mix64(chi ^ mix64(clo)) & t->mask;
+        while (t->slots[h].idx >= 0) {
+            if (t->slots[h].hi == chi && t->slots[h].lo == clo)
+                return t->slots[h].idx;
+            h = (h + 1) & t->mask;
+        }
+        return -1;
+    };
+
+    for (int64_t wi = 0; wi < b; wi++) {
+        int8_t* bases = out_bases + wi * (int64_t)max_steps;
+        for (int32_t i = 0; i < max_steps; i++) bases[i] = -1;
+
+        // walk-orientation kmer + its rc (for canonical lookups)
+        uint64_t fhi = shi[wi], flo = slo[wi];
+        uint64_t rhi = 0, rlo = 0;
+        for (int32_t i = 0; i < k; i++) {
+            const int sh = 2 * i;
+            const uint64_t base =
+                (sh >= 64 ? (fhi >> (sh - 64)) : (flo >> sh)) & 3ULL;
+            rhi = (rhi << 2) | (rlo >> 62);
+            rlo = (rlo << 2) | (3 - base);
+        }
+        rhi &= hi_mask;
+        if (one_word) { rlo &= lo_mask; rhi = 0; }
+
+        std::vector<LSGroup> groups;
+        auto store_active = [&]() {
+            for (const LSGroup& g : groups) if (!g.els.empty()) return true;
+            return false;
+        };
+        auto num_new_paths = [&]() {
+            int n2 = 0;
+            for (const LSGroup& g : groups)
+                for (const LSElement& e : g.els) if (e.age == 0) n2++;
+            return n2;
+        };
+        auto increment_ages = [&]() {
+            for (LSGroup& g : groups)
+                for (LSElement& e : g.els) e.age++;
+        };
+        // add links of the kmer (walk orientation wf) — linkstore.py::add
+        // with go_forward=True: keep records with (not flipped) == rec.fw,
+        // junction codes untransformed
+        auto add_links = [&](uint64_t wfhi, uint64_t wflo,
+                             uint64_t wrhi, uint64_t wrlo) {
+            const bool flipped = one_word ? (wrlo < wflo)
+                               : (wrhi != wfhi ? wrhi < wfhi : wrlo < wflo);
+            const uint64_t chi = flipped ? wrhi : wfhi;
+            const uint64_t clo = flipped ? wrlo : wflo;
+            const int64_t idx = lookup(chi, clo);
+            if (idx < 0) return;
+            for (int64_t r = t->loff[idx]; r < t->loff[idx + 1]; r++) {
+                if (((uint8_t)(!flipped)) != t->lfw[r]) continue;
+                const uint8_t* junc = t->pool.data() + t->choff[r];
+                const int32_t len = (int32_t)(t->choff[r + 1] - t->choff[r]);
+                // group by junction string, insertion-ordered; dead groups
+                // are skipped so a re-added key lands at the end (matching
+                // Python dict delete-then-setdefault)
+                bool found = false;
+                for (LSGroup& g : groups) {
+                    if (!g.els.empty() && g.len == len
+                        && memcmp(g.junc, junc, (size_t)len) == 0) {
+                        g.els.push_back(LSElement{0, 0});
+                        found = true;
+                        break;
+                    }
+                }
+                if (!found) {
+                    groups.push_back(LSGroup{junc, len, {LSElement{0, 0}}});
+                }
+            }
+        };
+        // oldest-agreement junction choice + consume; -1 when ambiguous or
+        // store empty (linkstore.py::next_junction_choice/_consume)
+        auto next_junction_choice = [&]() -> int {
+            int32_t max_age = -1;
+            for (const LSGroup& g : groups)
+                for (const LSElement& e : g.els)
+                    if (e.age > max_age) max_age = e.age;
+            if (max_age < 0) return -1;
+            int agree_char = -2;
+            const LSGroup* first_oldest_group = nullptr;
+            for (const LSGroup& g : groups) {
+                for (const LSElement& e : g.els) {
+                    if (e.age != max_age || e.pos >= g.len) continue;
+                    if (!first_oldest_group) first_oldest_group = &g;
+                    const int c = g.junc[e.pos];
+                    if (agree_char == -2) agree_char = c;
+                    else if (agree_char != c) return -1;
+                }
+            }
+            if (!first_oldest_group || agree_char < 0) return -1;
+            // the emitted char comes from the LAST element of the chosen
+            // junction list (LinkStore.java:128-131); at most one live group
+            // per junction string, and the first oldest element lives in it
+            const LSGroup& cg = *first_oldest_group;
+            const int choice = cg.junc[cg.els.back().pos];
+            // consume
+            for (LSGroup& g : groups) {
+                std::vector<LSElement> keep;
+                for (LSElement& e : g.els) {
+                    if (e.pos + 1 >= g.len || g.junc[e.pos] != (uint8_t)choice)
+                        continue;
+                    e.pos++;
+                    keep.push_back(e);
+                }
+                g.els.swap(keep);
+            }
+            return choice;
+        };
+
+        std::unordered_set<Key128, Key128Hash> seen;
+        // seek(seed): single next by degree
+        const bool sflip = one_word ? (rlo < flo)
+                         : (rhi != fhi ? rhi < fhi : rlo < flo);
+        int64_t sidx = lookup(sflip ? rhi : fhi, sflip ? rlo : flo);
+        int next_base = -1;
+        if (sidx >= 0) {
+            const uint8_t e = t->edges[sidx];
+            const uint8_t nm = sflip ? (uint8_t)(e >> 4) : (uint8_t)(e & 0xF);
+            if (nm && !(nm & (nm - 1))) {
+                next_base = 0;
+                while (!((nm >> next_base) & 1)) next_base++;
+            }
+        }
+        bool initialized = false;
+        int32_t steps = 0, junctions = 0;
+
+        while (next_base >= 0 && steps < max_steps) {
+            if (!initialized) { add_links(fhi, flo, rhi, rlo); initialized = true; }
+            // candidate next kmer (walk orientation) + rc
+            uint64_t nfhi = ((fhi << 2) | (flo >> 62)) & hi_mask;
+            uint64_t nflo = (flo << 2) | (uint64_t)next_base;
+            if (one_word) { nflo &= lo_mask; nfhi = 0; }
+            uint64_t nrlo = (rlo >> 2) | (rhi << 62);
+            uint64_t nrhi = rhi >> 2;
+            const uint64_t cb = 3 - (uint64_t)next_base;
+            if (shift_top >= 64) nrhi |= cb << (shift_top - 64);
+            else nrlo |= cb << shift_top;
+            if (one_word) { nrlo &= lo_mask; nrhi = 0; }
+            else { nrhi &= hi_mask; }
+
+            add_links(nfhi, nflo, nrhi, nrlo);     // _update_link_store
+            bases[steps] = (int8_t)next_base;
+            steps++;
+            fhi = nfhi; flo = nflo; rhi = nrhi; rlo = nrlo;
+
+            // successor of the new cursor
+            const bool flipped = one_word ? (rlo < flo)
+                               : (rhi != fhi ? rhi < fhi : rlo < flo);
+            const int64_t idx = lookup(flipped ? rhi : fhi,
+                                       flipped ? rlo : flo);
+            next_base = -1;
+            const uint8_t e = idx >= 0 ? t->edges[idx] : 0;
+            const uint8_t nm = flipped ? (uint8_t)(e >> 4)
+                                       : (uint8_t)(e & 0xF);
+            const int deg = __builtin_popcount(nm);
+            if (deg == 1) {
+                int nb = 0;
+                while (!((nm >> nb) & 1)) nb++;
+                uint64_t phi = ((fhi << 2) | (flo >> 62)) & hi_mask;
+                uint64_t plo = (flo << 2) | (uint64_t)nb;
+                if (one_word) { plo &= lo_mask; phi = 0; }
+                Key128 key{phi, plo};
+                if (!seen.count(key) || store_active()) {
+                    next_base = nb;
+                    seen.insert(key);
+                }
+            } else if (deg > 1) {
+                const int choice = next_junction_choice();
+                if (choice >= 0 && ((nm >> choice) & 1)) {
+                    next_base = choice;
+                    junctions++;
+                }
+                increment_ages();
+            }
+            if (num_new_paths() > 0) increment_ages();
+        }
+        out_steps[wi] = steps;
+        out_junctions[wi] = junctions;
     }
 }
 

@@ -67,12 +67,15 @@ def test_partition_links_overflow_replay():
     rng = np.random.default_rng(29)
     g, rois, links = _mk_graph_with_repeats(rng, 15)
     old_cap = wl.MAX_ADD
+    old_thresh = core._NATIVE_LINK_THRESHOLD
     try:
         wl.MAX_ADD = 0   # force every linked arrival to overflow
+        core._NATIVE_LINK_THRESHOLD = -1   # force the device kernel path
         stats = {}
         got = core.partition(g, rois, links=[links], max_walk=4096, stats=stats)
     finally:
         wl.MAX_ADD = old_cap
+        core._NATIVE_LINK_THRESHOLD = old_thresh
     want = core._partition_host(g, rois, [links], link_novels=False, max_walk=4096)
     assert got == want
 
@@ -89,6 +92,7 @@ def test_partition_links_checkpoint_resume(tmp_path, monkeypatch):
     rng = np.random.default_rng(17)
     g, rois, links = _mk_graph_with_repeats(rng, 15)
     path = str(tmp_path / "part.ckpt")
+    monkeypatch.setattr(core, "_NATIVE_LINK_THRESHOLD", -1)  # device path
     want = core._partition_links_device(g, rois, [links], 4096)
     cks = sorted(rois.kmer_string(i) for i in range(rois.num_records))
     assert len(cks) > 2
@@ -131,3 +135,54 @@ def test_partition_links_checkpoint_resume(tmp_path, monkeypatch):
     got2 = core._partition_links_device(g, rois, [links], 4096,
                                         checkpoint=path, chunk=2)
     assert got2 == want
+
+
+def test_native_links_walker_matches_host_cursor():
+    """ct_walk_links_host == the host engine cursor (exact LinkStore
+    semantics) across repeat fixtures, both orientations."""
+    from corticall_tpu import native as nat
+    if not nat.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    from corticall_tpu import kmer as km
+    from corticall_tpu.traversal import TraversalConfig, TraversalEngine
+    from corticall_tpu.traversal.stopping import ContigStopper
+    from corticall_tpu.traversal.engine import FORWARD, OR
+
+    for seed_n in (15, 29, 77):
+        rng = np.random.default_rng(seed_n)
+        g, rois, links = _mk_graph_with_repeats(rng, 15)
+        cks = sorted(rois.kmer_string(i) for i in range(rois.num_records))
+        seeds = cks + [km.revcomp(s) for s in cks]
+        w = nat.LinksWalkerNative(g, [0], [links])
+        exts, _ = w.walk(seeds, 4096)
+        e = TraversalEngine(TraversalConfig(
+            graph=g, traversal_colors=[0], direction=FORWARD, combination=OR,
+            stopping_rule=ContigStopper, links=[links],
+            max_branch_length=4096))
+        for s, ext in zip(seeds, exts):
+            want = []
+            e.seek(s)
+            while e.has_next() and len(want) < 4096:
+                want.append(e.next().kmer[-1])
+            assert "".join(want) == ext, s
+
+
+def test_merge_prefix_links_walk_invariant():
+    """Prefix-merged links walk identically to raw links (merge safety)."""
+    from corticall_tpu.io import links as lkio
+    from corticall_tpu import native as nat
+    if not nat.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(41)
+    g, rois, links = _mk_graph_with_repeats(rng, 15)
+    merged = lkio.merge_prefix_links(links)
+    assert sum(len(v) for v in merged.records.values()) <= \
+        sum(len(v) for v in links.records.values())
+    cks = sorted(rois.kmer_string(i) for i in range(rois.num_records))
+    a = nat.LinksWalkerNative(g, [0], [links])
+    b = nat.LinksWalkerNative(g, [0], [merged])
+    ea, _ = a.walk(cks, 4096)
+    eb, _ = b.walk(cks, 4096)
+    assert ea == eb
