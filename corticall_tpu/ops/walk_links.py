@@ -94,6 +94,101 @@ def build_link_arrays(graph, links_list) -> LinkArrays:
     return LinkArrays(offsets, choices, lengths, forward, truncated)
 
 
+def store_add(el_choices, el_len, el_pos, el_age, el_valid, el_seq,
+              seq_counter, overflow, active, flipped,
+              rec_choices, rec_len, rec_fw, rec_cnt):
+    """Append the current kmer's link records to each walk's element table
+    (LinkStore.add semantics, orientation-gated).  rec_* are pre-gathered
+    [B, MAX_ADD(, JW)] record blocks — locally gathered on one device, routed
+    by all_to_all on a mesh.  Record j (insertion order) maps to the free
+    slot of equal rank via a (B, CAP, MAX_ADD) match."""
+    b = active.shape[0]
+    ma = rec_len.shape[1]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (b, ma), 1)
+    gate = (jj < jnp.minimum(rec_cnt, MAX_ADD)[:, None]) & active[:, None] \
+        & (rec_fw == ~flipped[:, None])
+    rank_add = jnp.cumsum(gate.astype(jnp.int32), axis=1) - 1
+    free = ~el_valid
+    rank_free = jnp.cumsum(free.astype(jnp.int32), axis=1) - 1
+    num_free = jnp.sum(free.astype(jnp.int32), axis=1)
+    assign = (free[:, :, None]
+              & gate[:, None, :]
+              & (rank_free[:, :, None] == rank_add[:, None, :]))
+    filled = jnp.any(assign, axis=2)
+    j_for_slot = jnp.argmax(assign, axis=2)
+    ch_sel = jnp.take_along_axis(rec_choices, j_for_slot[:, :, None], axis=1)
+    ln_sel = jnp.take_along_axis(rec_len, j_for_slot, axis=1)
+    el_choices = jnp.where(filled[..., None], ch_sel, el_choices)
+    el_len = jnp.where(filled, ln_sel, el_len)
+    el_pos = jnp.where(filled, 0, el_pos)
+    el_age = jnp.where(filled, 0, el_age)
+    el_seq = jnp.where(filled, seq_counter[:, None] + j_for_slot, el_seq)
+    el_valid = el_valid | filled
+    overflow = overflow | jnp.any(gate & (rank_add >= num_free[:, None]),
+                                  axis=1)
+    seq_counter = seq_counter + MAX_ADD
+    overflow = overflow | (rec_cnt > MAX_ADD)
+    return (el_choices, el_len, el_pos, el_age, el_valid, el_seq,
+            seq_counter, overflow)
+
+
+def store_advance(cur, active, el_choices, el_len, el_pos, el_age, el_valid,
+                  el_seq, edge, flipped, is_first, k):
+    """Successor choice + junction consume + aging (LinkStore steps 2-4 of
+    walk_links_forward; shared between the single-device kernel and the
+    sharded mesh walk).  Returns (cur, active, el_pos, el_valid, el_age,
+    emitted, take_choice)."""
+    next_mask = jnp.where(flipped, edge >> 4, edge & 0xF).astype(jnp.uint32)
+    n = kj.popcount4(next_mask)
+    single_base = kj.lowest_set_base(next_mask)
+
+    exhausted = el_pos >= el_len
+    live = el_valid & ~exhausted
+    age_masked = jnp.where(live, el_age, -1)
+    oldest_age = jnp.max(age_masked, axis=1)
+    is_oldest = live & (el_age == oldest_age[:, None]) & (oldest_age[:, None] >= 0)
+    chars = _char_at(el_choices, el_pos)
+    any_oldest = jnp.any(is_oldest, axis=1)
+    first_oldest = jnp.argmax(is_oldest, axis=1)
+    rep_char = jnp.take_along_axis(chars, first_oldest[:, None], axis=1)[:, 0]
+    agree = jnp.all(~is_oldest | (chars == rep_char[:, None]), axis=1)
+
+    rep_words = jnp.take_along_axis(
+        el_choices, first_oldest[:, None, None], axis=1)[:, 0, :]
+    same_list = el_valid & jnp.all(el_choices == rep_words[:, None, :], axis=-1)
+    seq_masked = jnp.where(same_list, el_seq, -1)
+    latest = jnp.argmax(seq_masked, axis=1)
+    choice = jnp.take_along_axis(chars, latest[:, None], axis=1)[:, 0]
+
+    have_choice = any_oldest & agree
+    choice_ok = have_choice & ((next_mask >> choice) & 1).astype(bool)
+
+    junction = n > 1
+    take_single = active & (n == 1)
+    take_choice = active & junction & choice_ok & ~is_first
+    base = jnp.where(junction, choice, single_base.astype(jnp.uint32))
+    advance = take_single | take_choice
+
+    consumed = take_choice
+    match = chars == choice[:, None]
+    keep = el_valid & match & (el_pos + 1 < el_len)
+    el_pos = jnp.where(consumed[:, None] & keep, el_pos + 1, el_pos)
+    el_valid = jnp.where(consumed[:, None], keep, el_valid)
+
+    bump = (consumed | (active & junction & ~is_first)).astype(el_age.dtype)
+    new_paths = jnp.any(el_valid & (el_age == 0), axis=1)
+    bump = bump + (active & new_paths & ~is_first).astype(el_age.dtype)
+    el_age = jnp.where(el_valid, el_age + bump[:, None], el_age)
+
+    store_active = jnp.any(el_valid, axis=1)
+    nxt = kj.shift_append(cur, base, k)
+    cur = jnp.where(advance[:, None], nxt, cur)
+    emitted = jnp.where(advance, base.astype(jnp.int8), -1)
+    emitted = jnp.where(advance & store_active,
+                        emitted | jnp.int8(8), emitted)
+    return cur, advance, el_pos, el_valid, el_age, emitted, take_choice
+
+
 def _char_at(choices, pos):
     """choices [..., JW] uint32, pos [...] int32 -> 2-bit code at pos."""
     word = jnp.take_along_axis(choices, (pos[..., None] // 16), axis=-1)[..., 0]
@@ -123,6 +218,18 @@ def walk_links_forward(buckets, edges_combined, link_off, link_choices,
                          edges_combined[jnp.maximum(rec, 0)], 0).astype(jnp.uint32)
         return edge, rec
 
+    def gather_links(rec):
+        """Pre-gather up to MAX_ADD link-record blocks for each walk's
+        current record (the local-memory form of what the mesh version routes
+        with all_to_all)."""
+        off = jnp.where(rec >= 0, link_off[jnp.maximum(rec, 0)], 0)
+        cnt = jnp.where(rec >= 0,
+                        link_off[jnp.maximum(rec, 0) + 1] - off, 0)
+        ma = max(MAX_ADD, 1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (rec.shape[0], ma), 1)
+        idx = jnp.minimum(off[:, None] + jj, link_choices.shape[0] - 1)
+        return link_choices[idx], link_len[idx], link_fw[idx], cnt
+
     def step(state, _):
         (cur, active, overflow, el_choices, el_len, el_pos, el_age, el_valid,
          el_seq, seq_counter, stepno) = state
@@ -130,102 +237,24 @@ def walk_links_forward(buckets, edges_combined, link_off, link_choices,
 
         canon, flipped = kj.canonicalize_words(cur, k)
         edge, rec = lookup_edge_and_rec(canon)
+        rec_choices, rec_len, rec_fw, rec_cnt = gather_links(rec)
 
         # -- 1. add links of the current kmer ------------------------------
         # vectorized slot assignment (one block, not an unrolled MAX_ADD loop
         # — the unrolled form made the scan body ~16x larger and blew the XLA
         # compile to minutes on a real chip): record j (insertion order) maps
         # to the free slot of equal rank via a (B, CAP, MAX_ADD) match.
-        off = jnp.where(rec >= 0, link_off[jnp.maximum(rec, 0)], 0)
-        cnt = jnp.where(rec >= 0,
-                        link_off[jnp.maximum(rec, 0) + 1] - off, 0)
-        ma = max(MAX_ADD, 1)                  # MAX_ADD=0: tests force overflow
-        jj = jax.lax.broadcasted_iota(jnp.int32, (b, ma), 1)
-        idx = jnp.minimum(off[:, None] + jj, link_choices.shape[0] - 1)
-        gate = (jj < jnp.minimum(cnt, MAX_ADD)[:, None]) & active[:, None] \
-            & (link_fw[idx] == ~flipped[:, None])
-        # rank of record j among gated records (0-based), rank of each free
-        # slot among free slots (0-based)
-        rank_add = jnp.cumsum(gate.astype(jnp.int32), axis=1) - 1
-        free = ~el_valid
-        rank_free = jnp.cumsum(free.astype(jnp.int32), axis=1) - 1
-        num_free = jnp.sum(free.astype(jnp.int32), axis=1)
-        assign = (free[:, :, None]
-                  & gate[:, None, :]
-                  & (rank_free[:, :, None] == rank_add[:, None, :]))
-        filled = jnp.any(assign, axis=2)
-        j_for_slot = jnp.argmax(assign, axis=2)
-        src = jnp.take_along_axis(idx, j_for_slot, axis=1)
-        el_choices = jnp.where(filled[..., None], link_choices[src], el_choices)
-        el_len = jnp.where(filled, link_len[src], el_len)
-        el_pos = jnp.where(filled, 0, el_pos)
-        el_age = jnp.where(filled, 0, el_age)
-        el_seq = jnp.where(filled, seq_counter[:, None] + j_for_slot, el_seq)
-        el_valid = el_valid | filled
-        overflow = overflow | jnp.any(gate & (rank_add >= num_free[:, None]),
-                                      axis=1)
-        seq_counter = seq_counter + MAX_ADD
-        overflow = overflow | (cnt > MAX_ADD)
+        (el_choices, el_len, el_pos, el_age, el_valid, el_seq, seq_counter,
+         overflow) = store_add(
+            el_choices, el_len, el_pos, el_age, el_valid, el_seq, seq_counter,
+            overflow, active, flipped, rec_choices, rec_len, rec_fw, rec_cnt)
 
-        # -- 2. successor choice -------------------------------------------
-        next_mask = jnp.where(flipped, edge >> 4, edge & 0xF).astype(jnp.uint32)
-        n = kj.popcount4(next_mask)
-        single_base = kj.lowest_set_base(next_mask)
-
-        exhausted = el_pos >= el_len
-        live = el_valid & ~exhausted
-        age_masked = jnp.where(live, el_age, -1)
-        oldest_age = jnp.max(age_masked, axis=1)
-        is_oldest = live & (el_age == oldest_age[:, None]) & (oldest_age[:, None] >= 0)
-        chars = _char_at(el_choices, el_pos)
-        # agreement among oldest
-        any_oldest = jnp.any(is_oldest, axis=1)
-        first_oldest = jnp.argmax(is_oldest, axis=1)
-        rep_char = jnp.take_along_axis(chars, first_oldest[:, None], axis=1)[:, 0]
-        agree = jnp.all(~is_oldest | (chars == rep_char[:, None]), axis=1)
-
-        # the chosen junction list = rep's words; the emitted char comes from
-        # the latest-inserted element with identical words (LinkStore quirk)
-        rep_words = jnp.take_along_axis(
-            el_choices, first_oldest[:, None, None], axis=1)[:, 0, :]
-        same_list = el_valid & jnp.all(el_choices == rep_words[:, None, :], axis=-1)
-        seq_masked = jnp.where(same_list, el_seq, -1)
-        latest = jnp.argmax(seq_masked, axis=1)
-        choice = jnp.take_along_axis(chars, latest[:, None], axis=1)[:, 0]
-
-        have_choice = any_oldest & agree
-        choice_ok = have_choice & ((next_mask >> choice) & 1).astype(bool)
-
-        junction = n > 1
-        take_single = active & (n == 1)
-        # the seed step mirrors seek(): successor by degree only, the store
-        # is not consulted (TraversalEngine.java:321-335)
-        take_choice = active & junction & choice_ok & ~is_first
-        base = jnp.where(junction, choice, single_base.astype(jnp.uint32))
-        advance = take_single | take_choice
-
-        # -- 3. consume the choice at junctions ----------------------------
-        consumed = take_choice
-        match = chars == choice[:, None]
-        keep = el_valid & match & (el_pos + 1 < el_len)
-        el_pos = jnp.where(consumed[:, None] & keep, el_pos + 1, el_pos)
-        el_valid = jnp.where(consumed[:, None], keep, el_valid)
-
-        # -- 4. ages -------------------------------------------------------
-        bump = (consumed | (active & junction & ~is_first)).astype(el_age.dtype)
-        # seed links stay age 0 until the first real next() step (Java adds
-        # the seed's and first kmer's links inside the same next() call)
-        new_paths = jnp.any(el_valid & (el_age == 0), axis=1)
-        bump = bump + (active & new_paths & ~is_first).astype(el_age.dtype)
-        el_age = jnp.where(el_valid, el_age + bump[:, None], el_age)
-
-        store_active = jnp.any(el_valid, axis=1)
-        nxt = kj.shift_append(cur, base, k)
-        cur = jnp.where(advance[:, None], nxt, cur)
-        emitted = jnp.where(advance, base.astype(jnp.int8), -1)
-        emitted = jnp.where(advance & store_active,
-                            emitted | jnp.int8(8), emitted)  # bit 3 = store active
-        active = advance
+        # -- 2-4. successor choice / junction consume / ages ----------------
+        # (the seed step mirrors seek(): successor by degree only, the store
+        # is not consulted — TraversalEngine.java:321-335)
+        cur, active, el_pos, el_valid, el_age, emitted, take_choice = \
+            store_advance(cur, active, el_choices, el_len, el_pos, el_age,
+                          el_valid, el_seq, edge, flipped, is_first, k)
         return (cur, active, overflow, el_choices, el_len, el_pos, el_age,
                 el_valid, el_seq, seq_counter, stepno + 1), (emitted, take_choice)
 

@@ -145,6 +145,380 @@ def sharded_lookup_fn(num_shards: int, payload_fn=None):
     return f
 
 
+def sharded_lookup_tree_fn(num_shards: int, payload_fn):
+    """Like sharded_lookup_fn but the payload may be a PYTREE of arrays
+    (each [cap*n, ...]) — every leaf rides its own all_to_all.  payload_fn
+    signature: (ctx, idx) where ctx is the per-shard context tuple passed to
+    the returned f(queries, buckets_s, ctx)."""
+
+    def f(queries, buckets_s, ctx):
+        bl = queries.shape[0]
+        cap = bl
+        t = (routing_hash(queries) % jnp.uint32(num_shards)).astype(jnp.int32)
+        order = jnp.argsort(t)
+        t_sorted = t[order]
+        q_sorted = queries[order]
+        starts = jnp.searchsorted(t_sorted, jnp.arange(num_shards, dtype=jnp.int32))
+        counts = jnp.searchsorted(t_sorted, jnp.arange(num_shards, dtype=jnp.int32),
+                                  side="right") - starts
+        q_pad = jnp.concatenate([q_sorted, jnp.zeros_like(q_sorted)], axis=0)
+
+        def bucket(s):
+            sl = jax.lax.dynamic_slice(
+                q_pad, (starts[s], 0), (cap, q_pad.shape[1]))
+            valid = (jnp.arange(cap) < counts[s])[:, None]
+            return jnp.where(valid, sl, 0)
+
+        send = jnp.stack([bucket(s) for s in range(num_shards)])
+        recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0,
+                                  tiled=False)
+        flat = recv.reshape(num_shards * cap, -1)
+        w = flat.shape[1]
+        idx = ck.lookup_payload(buckets_s, flat, w).astype(jnp.int32) - 1
+        pay = payload_fn(ctx, idx)
+        pay = jax.tree.map(
+            lambda a: a.reshape((num_shards, cap) + a.shape[1:]), pay)
+        pay_back = jax.tree.map(
+            lambda a: jax.lax.all_to_all(a, AXIS, split_axis=0, concat_axis=0),
+            pay)
+        rank = jnp.arange(bl, dtype=jnp.int32) - starts[t_sorted]
+        ps = jax.tree.map(lambda a: a[t_sorted, rank], pay_back)
+        return jax.tree.map(
+            lambda a: jnp.zeros(a.shape, a.dtype).at[order].set(a), ps)
+
+    return f
+
+
+@dataclass
+class ShardedLinks:
+    """Per-shard CSR link pools aligned with ShardedGraph's record slices
+    (the LinkArrays of ops/walk_links.py, hash-sharded with their records)."""
+    offsets: jnp.ndarray   # int32[n, Nmax+1]
+    choices: jnp.ndarray   # uint32[n, Pmax, JW]
+    lengths: jnp.ndarray   # int32[n, Pmax]
+    forward: jnp.ndarray   # bool[n, Pmax]
+    truncated: int
+
+    @classmethod
+    def from_graph(cls, g: gr.CortexGraph, links_list, num_shards: int,
+                   n_max: int) -> "ShardedLinks":
+        from ..ops import walk_links as wl
+        la = wl.build_link_arrays(g, links_list)
+        h = routing_hash_np(g.kmers)
+        shard = (h % np.uint32(num_shards)).astype(np.int64)
+        per = []
+        for s in range(num_shards):
+            sel = np.nonzero(shard == s)[0]
+            offs = np.zeros(n_max + 1, dtype=np.int32)
+            rows = []
+            pos = 0
+            for li, r in enumerate(sel):
+                offs[li] = pos
+                lo, hi = int(la.offsets[r]), int(la.offsets[r + 1])
+                rows.extend(range(lo, hi))
+                pos += hi - lo
+            offs[len(sel):] = pos
+            per.append((offs, np.asarray(rows, dtype=np.int64)))
+        p_max = max(max((len(rows) for _, rows in per), default=1), 1)
+        offsets = np.stack([offs for offs, _ in per])
+        choices = np.zeros((num_shards, p_max, wl.JW), dtype=np.uint32)
+        lengths = np.zeros((num_shards, p_max), dtype=np.int32)
+        forward = np.zeros((num_shards, p_max), dtype=bool)
+        for s, (_, rows) in enumerate(per):
+            if len(rows):
+                choices[s, :len(rows)] = la.choices[rows]
+                lengths[s, :len(rows)] = la.lengths[rows]
+                forward[s, :len(rows)] = la.forward[rows]
+        return cls(jnp.asarray(offsets), jnp.asarray(choices),
+                   jnp.asarray(lengths), jnp.asarray(forward), la.truncated)
+
+
+def make_sharded_linked_walk_run(mesh: Mesh, sg: ShardedGraph,
+                                 sl: ShardedLinks, colors, k: int,
+                                 num_steps: int):
+    """Multi-step LINK-ASSISTED walks over the hash-sharded graph: the device
+    link kernel (ops/walk_links.py — fixed-capacity LinkStore state carried
+    per walk) with both the edge byte and the link-record blocks routed from
+    their owning shards by all_to_all each step.
+
+    Returns fn(seeds uint32[B, W]) -> (emitted int8[num_steps, B],
+    overflow bool[B], junctions int32[B]); decode with decode_linked_walk."""
+    from ..ops import walk_links as wl
+
+    num_shards = sg.num_shards
+    colors = list(colors)
+
+    def payload(ctx, idx):
+        edges_s, loff_s, lch_s, llen_s, lfw_s = ctx
+        e = edges_s[jnp.maximum(idx, 0)][:, colors]
+        edge = e[:, 0]
+        for i in range(1, len(colors)):
+            edge = edge | e[:, i]
+        edge = jnp.where(idx >= 0, edge, 0).astype(jnp.uint8)
+        off = jnp.where(idx >= 0, loff_s[jnp.maximum(idx, 0)], 0)
+        cnt = jnp.where(idx >= 0,
+                        loff_s[jnp.maximum(idx, 0) + 1] - off, 0)
+        ma = max(wl.MAX_ADD, 1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], ma), 1)
+        src = jnp.minimum(off[:, None] + jj, lch_s.shape[0] - 1)
+        return (edge, lch_s[src], llen_s[src], lfw_s[src],
+                cnt.astype(jnp.int32))
+
+    lookup = sharded_lookup_tree_fn(num_shards, payload)
+
+    def run_local(seeds, active0, kmers_s, edges_s, buckets_s,
+                  loff_s, lch_s, llen_s, lfw_s):
+        edges_s, buckets_s = edges_s[0], buckets_s[0]
+        loff_s, lch_s = loff_s[0], lch_s[0]
+        llen_s, lfw_s = llen_s[0], lfw_s[0]
+        ctx = (edges_s, loff_s, lch_s, llen_s, lfw_s)
+        b = seeds.shape[0]
+        zi = active0.astype(jnp.int32) * 0            # varying zeros [b]
+        zcap = zi[:, None] + jnp.zeros((1, wl.CAP), jnp.int32)
+
+        def step(state, _):
+            (cur, active, overflow, el_choices, el_len, el_pos, el_age,
+             el_valid, el_seq, seq_counter, stepno) = state
+            is_first = stepno == 0
+            canon, flipped = kj.canonicalize_words(cur, k)
+            edge, rch, rln, rfw, rcnt = lookup(canon, buckets_s, ctx)
+            edge = edge.astype(jnp.uint32)
+            (el_choices, el_len, el_pos, el_age, el_valid, el_seq,
+             seq_counter, overflow) = wl.store_add(
+                el_choices, el_len, el_pos, el_age, el_valid, el_seq,
+                seq_counter, overflow, active, flipped, rch, rln, rfw, rcnt)
+            cur, active, el_pos, el_valid, el_age, emitted, take_choice = \
+                wl.store_advance(cur, active, el_choices, el_len, el_pos,
+                                 el_age, el_valid, el_seq, edge, flipped,
+                                 is_first, k)
+            return (cur, active, overflow, el_choices, el_len, el_pos,
+                    el_age, el_valid, el_seq, seq_counter,
+                    stepno + 1), (emitted, take_choice)
+
+        zjw = (zcap[..., None].astype(jnp.uint32)
+               + jnp.zeros((1, 1, wl.JW), jnp.uint32))
+        init = (seeds, active0, active0 & False, zjw,
+                zcap, zcap, zcap, zcap.astype(bool) & False, zcap,
+                zi, zi)
+        (_, _, overflow, *_), (emitted, junc) = jax.lax.scan(
+            step, init, None, length=num_steps)
+        junctions = junc.sum(axis=0).astype(jnp.int32)
+        return emitted, overflow, junctions
+
+    sharded = jax.shard_map(
+        run_local, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                  P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(None, AXIS), P(AXIS), P(AXIS)),
+    )
+
+    @jax.jit
+    def run(seeds, active):
+        return sharded(seeds, active, sg.kmers, sg.edges, sg.buckets,
+                       sl.offsets, sl.choices, sl.lengths, sl.forward)
+
+    return run
+
+
+def sharded_assemble_links(mesh: Mesh, sg: ShardedGraph, sl: ShardedLinks,
+                           colors, seeds: list, max_steps: int,
+                           _cache: dict = {}):
+    """Bidirectional link-assisted contigs walked across the mesh (the
+    sharded twin of ops.walk_links.LinkedWalker.assemble).  Returns
+    (contigs {seed: contig}, overflow bool[B], junctions int32[B])."""
+    from .. import kmer as km
+    from ..ops.walk_links import decode_linked_walk
+
+    if not seeds:
+        return {}, np.zeros(0, bool), np.zeros(0, np.int32)
+    k = sg.kmer_size
+    n = mesh.devices.size
+    key = (id(sg), id(sl), tuple(colors), max_steps, n)
+    run = _cache.get(key)
+    if run is None:
+        run = make_sharded_linked_walk_run(mesh, sg, sl, colors, k, max_steps)
+        _cache[key] = run
+
+    def batch(strs):
+        pad = (-len(strs)) % n
+        padded = strs + [strs[0]] * pad
+        cur = jnp.asarray(km.pack_codes(km.strings_to_codes(padded), k))
+        active = jnp.ones(len(padded), dtype=bool)
+        with mesh:
+            em, of, jn = run(cur, active)
+        b = len(strs)
+        return np.asarray(em).T[:b], np.asarray(of)[:b], np.asarray(jn)[:b]
+
+    rc = [km.revcomp(s) for s in seeds]
+    fe, fo, fj = batch(seeds)
+    re_, ro, rj = batch(rc)
+    contigs = {}
+    for i, s in enumerate(seeds):
+        fwd = decode_linked_walk(s, fe[i], max_steps)
+        back = decode_linked_walk(rc[i], re_[i], max_steps)
+        contigs[s] = (km.revcomp(back) if back else "") + s + fwd
+    return contigs, fo | ro, fj + rj
+
+
+def make_sharded_walk_run(mesh: Mesh, sg: ShardedGraph, colors, k: int,
+                          num_steps: int):
+    """Multi-step data-parallel walks over the hash-sharded graph: the full
+    production walk kernel (ops/walk.py walk_forward — single-successor
+    advance, Brent cycle flags, -1 padded emission) with every lookup routed
+    to its owning shard by all_to_all.  Walks run to termination (junction /
+    dead end / cycle) or num_steps.
+
+    Returns a jitted fn(seeds uint32[B, W], active bool[B]) ->
+    (bases int8[num_steps, B], cycled bool[B], steps int32[B]); B sharded
+    over the mesh axis.  Emission decodes with ops.walk_np.replay_walk —
+    identical streams to the single-device kernels.
+    """
+    num_shards = sg.num_shards
+    colors = list(colors)
+
+    def payload(edges_s, covs_s, idx):
+        e = edges_s[jnp.maximum(idx, 0)][:, colors]
+        out = e[:, 0]
+        for i in range(1, len(colors)):
+            out = out | e[:, i]
+        return jnp.where(idx >= 0, out, 0).astype(jnp.uint8)
+
+    lookup = sharded_lookup_fn(num_shards, payload)
+
+    def run_local(seeds, active0, kmers_s, edges_s, covs_s, buckets_s):
+        kmers_s, edges_s = kmers_s[0], edges_s[0]
+        covs_s, buckets_s = covs_s[0], buckets_s[0]
+
+        def step(state, _):
+            cur, active, saved, power, lam = state
+            canon, flipped = kj.canonicalize_words(cur, k)
+            idx, _, e = lookup(canon, kmers_s, edges_s, covs_s, buckets_s)
+            e = e.astype(jnp.uint32)
+            next_mask = jnp.where(flipped, e >> 4, e & 0xF)
+            n = kj.popcount4(next_mask)
+            base = kj.lowest_set_base(next_mask)
+            nxt = kj.shift_append(cur, base.astype(jnp.uint32), k)
+            single = (n == 1) & (idx >= 0)
+            is_cycle = jnp.all(nxt == saved, axis=-1) & single & active
+            advance = active & single & ~is_cycle
+            emitted = jnp.where(advance, base, -1).astype(jnp.int8)
+            teleport = (power == lam) & advance
+            saved = jnp.where(teleport[:, None], nxt, saved)
+            power = jnp.where(teleport, power * 2, power)
+            lam = jnp.where(teleport, 0, lam)
+            lam = jnp.where(advance, lam + 1, lam)
+            cur = jnp.where(advance[:, None], nxt, cur)
+            return (cur, advance, saved, power, lam), (emitted, is_cycle)
+
+        # power/lam derive from a varying input so the scan carry's manual
+        # axes are consistent under shard_map
+        ones = active0.astype(jnp.int32) * 0 + 1
+        init = (seeds, active0, seeds, ones, ones - 1)
+        _, (bases, cycles) = jax.lax.scan(step, init, None, length=num_steps)
+        cycled = jnp.any(cycles, axis=0)
+        steps = (bases >= 0).sum(axis=0).astype(jnp.int32)
+        return bases, cycled, steps
+
+    sharded = jax.shard_map(
+        run_local, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(None, AXIS), P(AXIS), P(AXIS)),
+    )
+
+    @jax.jit
+    def run(seeds, active):
+        return sharded(seeds, active, sg.kmers, sg.edges, sg.coverages,
+                       sg.buckets)
+
+    return run
+
+
+def sharded_assemble(mesh: Mesh, sg: ShardedGraph, colors, seeds: list,
+                     max_steps: int, _run_cache: dict = {}) -> dict:
+    """Bidirectional contigs for seed kmer strings, walked to completion
+    across the mesh (the sharded twin of commands.core._batched_contigs /
+    TraversalEngine.assemble).  Returns {seed: contig}."""
+    from .. import kmer as km
+    from ..ops.walk_np import replay_walk
+
+    if not seeds:
+        return {}
+    k = sg.kmer_size
+    n = mesh.devices.size
+    key = (id(sg), tuple(colors), max_steps, n)
+    run = _run_cache.get(key)
+    if run is None:
+        run = make_sharded_walk_run(mesh, sg, colors, k, max_steps)
+        _run_cache[key] = run
+
+    def batch(strs: list):
+        b = len(strs)
+        pad = (-b) % n
+        padded = strs + [strs[0]] * pad
+        cur = jnp.asarray(km.pack_codes(km.strings_to_codes(padded), k))
+        active = jnp.ones(len(padded), dtype=bool)
+        with mesh:
+            bases, cycled, steps = run(cur, active)
+        return (np.asarray(bases).T[:b], np.asarray(cycled)[:b])
+
+    rc = [km.revcomp(s) for s in seeds]
+    fb, fc = batch(seeds)
+    rb, rcy = batch(rc)
+    out = {}
+    for i, s in enumerate(seeds):
+        fwd = replay_walk(s, fb[i], bool(fc[i]), max_steps)
+        back = replay_walk(rc[i], rb[i], bool(rcy[i]), max_steps)
+        out[s] = (km.revcomp(back) if back else "") + s + fwd
+    return out
+
+
+def make_sharded_find_rois(mesh: Mesh, sg: ShardedGraph, child_color: int,
+                           parent_colors: list):
+    """Sharded FindROIs scan (FindROIs.java:72-82: novel iff child coverage
+    > 0 and every parent coverage == 0) — each shard scans its record slice,
+    psum for the global count.  Returns fn() -> (mask bool[n, Nmax], total)."""
+    parents = list(parent_colors)
+
+    def local(kmers_s, covs_s, counts_s):
+        covs = covs_s[0]
+        cnt = counts_s[0]
+        rows = jnp.arange(covs.shape[0]) < cnt
+        mask = rows & (covs[:, child_color] > 0)
+        for p in parents:
+            mask = mask & (covs[:, p] == 0)
+        total = jax.lax.psum(mask.sum(), AXIS)
+        return mask[None], total
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P()),
+    )
+
+    counts = jnp.asarray(sg.counts.astype(np.int32))
+
+    @jax.jit
+    def run():
+        return sharded(sg.kmers, sg.coverages, counts)
+
+    return run
+
+
+def sharded_find_rois_kmers(mesh: Mesh, sg: ShardedGraph, child_color: int,
+                            parent_colors: list) -> np.ndarray:
+    """ROI kmers (canonical packed words, lexicographically sorted — the
+    order FindROIs writes records in) from the sharded scan."""
+    from .. import kmer as km
+    run = make_sharded_find_rois(mesh, sg, child_color, parent_colors)
+    with mesh:
+        mask, total = run()
+    mask = np.asarray(mask)
+    kmers = np.asarray(sg.kmers)[mask]
+    order = np.argsort(km.words_to_bytes_be(kmers, sg.kmer_size),
+                       kind="stable")
+    return kmers[order]
+
+
 def make_sharded_walk_step(mesh: Mesh, sg: ShardedGraph, colors, k: int):
     """One data-parallel frontier step over the hash-sharded graph.
 

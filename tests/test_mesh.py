@@ -70,3 +70,64 @@ def test_sharded_graph_partition_covers_all_records():
             assert key not in all_keys
             all_keys.add(key)
     assert len(all_keys) == g.num_records
+
+
+def _trio_with_repeat(k=17, seed=1):
+    rng = np.random.default_rng(seed)
+    core_seq = "".join(rng.choice(list("ACGT"), 2400))
+    genome = core_seq[:1200] + core_seq[300:340] + core_seq[1200:]
+    child = list(genome)
+    for pos in rng.integers(k, len(child) - k, size=6):
+        child[pos] = "ACGT"[(ord(child[pos]) + 1) % 4]
+    child = "".join(child)
+    g = fixtures.build_graph({"kid": [child], "mom": [genome],
+                              "dad": [genome]}, k)
+    from corticall_tpu.io import links as lkio
+    links = lkio.build_links(g, {"kid": [child]}, "kid")
+    return g, links
+
+
+def test_sharded_find_rois_matches_host():
+    from corticall_tpu.commands import core
+    g, _ = _trio_with_repeat()
+    k = g.kmer_size
+    mesh = Mesh(np.array(jax.devices()[:8]), (pm.AXIS,))
+    sg = pm.ShardedGraph.from_graph(g, 8)
+    rois = core.find_rois(g, "kid", ["mom", "dad"])
+    got = pm.sharded_find_rois_kmers(mesh, sg, 0, [1, 2])
+    assert np.array_equal(km.words_to_bytes_be(got, k),
+                          np.sort(km.words_to_bytes_be(rois.kmers, k)))
+
+
+def test_sharded_multistep_walks_match_single_device():
+    """Walks run to COMPLETION across the mesh (junctions, dead ends, Brent
+    cycles) with contigs identical to the single-device batched walker."""
+    from corticall_tpu.commands import core
+    g, _ = _trio_with_repeat()
+    mesh = Mesh(np.array(jax.devices()[:8]), (pm.AXIS,))
+    sg = pm.ShardedGraph.from_graph(g, 8)
+    rois = core.find_rois(g, "kid", ["mom", "dad"])
+    cks = sorted(rois.kmer_string(i) for i in range(rois.num_records))
+    want = core._batched_contigs(g, 0, cks, 256)
+    got = pm.sharded_assemble(mesh, sg, [0], cks, 256)
+    assert all(got[s] == want[s] for s in cks)
+
+
+def test_sharded_linked_walks_match_device_kernel():
+    """Link-assisted walks (per-walk LinkStore state, link records routed by
+    all_to_all) across the mesh == the single-device link kernel."""
+    from corticall_tpu.commands import core
+    from corticall_tpu.ops.walk_links import LinkedWalker
+    g, links = _trio_with_repeat()
+    mesh = Mesh(np.array(jax.devices()[:8]), (pm.AXIS,))
+    sg = pm.ShardedGraph.from_graph(g, 8)
+    sl = pm.ShardedLinks.from_graph(g, [links], 8, n_max=sg.kmers.shape[1])
+    rois = core.find_rois(g, "kid", ["mom", "dad"])
+    cks = sorted(rois.kmer_string(i) for i in range(rois.num_records))
+    got, overflow, junctions = pm.sharded_assemble_links(
+        mesh, sg, sl, [0], cks, 256)
+    lw = LinkedWalker(g, [0], [links])
+    want, wof, wjn = lw.assemble(cks, num_steps=256)
+    assert all(got[s] == w for s, w in zip(cks, want))
+    assert int(junctions.sum()) == int(wjn.sum()) > 0
+    assert not overflow.any()
