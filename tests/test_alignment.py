@@ -133,3 +133,52 @@ def test_interval_combiner():
             >= states[1][1].end - states[1][1].start)
     one = get_intervals(walk, {"ref": ir}, 50, 1)
     assert len(one) == 1
+
+
+def test_whole_contig_nahr_split_placement():
+    """The lastz role (LastzAligner.java:15-29: whole-contig alignment for
+    NAHR analyses): a multi-kb NAHR-mosaic contig — left half from locus A,
+    right half from locus B — placed by seed-chain-extend must yield TWO
+    confident split alignments, one per donor locus, with the breakpoint
+    recoverable from the chain boundaries."""
+    import numpy as np
+    from corticall_tpu.models.reference_index import IndexedReference
+
+    rng = np.random.default_rng(61)
+    chrom = "".join(rng.choice(list("ACGT"), 60_000))
+    a_start, b_start, span = 10_000, 40_000, 6_000
+    contig = chrom[a_start:a_start + span] + chrom[b_start:b_start + span]
+    ref = IndexedReference({"chr1": chrom})
+    alns = ref.align(contig, band=256)
+    placed = sorted((al.start, al.end) for al in alns[:2])
+    assert len(alns) >= 2
+    # each half places at its donor locus
+    assert abs(placed[0][0] - a_start) < 100
+    assert abs(placed[1][0] - b_start) < 100
+
+
+def test_banded_sw_large_band_matches_host_at_lastz_scale():
+    """'Same SW at larger band' (SURVEY §2.3 lastz row): the banded device
+    scan at band 512 on 8 kb sequences reproduces the host Gotoh local score
+    for a diverged pair — whole-contig-alignment scale, not seed-extension
+    scale."""
+    import numpy as np
+    import jax.numpy as jnp
+    from corticall_tpu.models.sw import SmithWaterman
+    from corticall_tpu.ops import sw_device as swd
+
+    rng = np.random.default_rng(62)
+    n = 8_000
+    s = "".join(rng.choice(list("ACGT"), n))
+    q = list(s)
+    for pos in rng.integers(0, n, size=n // 100):     # 1% divergence
+        q[pos] = "ACGT"[(ord(q[pos]) + 1) % 4]
+    # a 150 bp deletion mid-way (diagonal shift stays inside band 512's
+    # half-width of 256)
+    q = "".join(q[:4000] + q[4150:])
+    qc = swd.codes_batch([q], len(q))
+    sc = swd.codes_batch([s], len(s))
+    score, qe, se = swd.banded_sw_scores(jnp.asarray(qc), jnp.asarray(sc),
+                                         band=512)
+    want = SmithWaterman().align_detailed(q, s)["score"]
+    assert abs(float(score[0]) - want) < 1e-3
