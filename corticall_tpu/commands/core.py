@@ -150,6 +150,23 @@ def _excluded_subset(roi: gr.CortexGraph, excluded_canon: set) -> gr.CortexGraph
     return subset_colors(roi, list(range(roi.num_colors)), mask)
 
 
+def adaptive_lowcov_threshold(joined: gr.CortexGraph, child: str,
+                              lo: int = 2, hi: int = 10) -> int:
+    """Coverage-adaptive FindLowCoverage threshold.  The reference WDL fixes
+    `-m 10` (Simulate.wdl:936) for its ~75-100x Pf crosses; a fixed cutoff is
+    exactly the round-2 robustness cliff at 15-20x read depth, where real
+    novel kmers routinely sit at coverage 4-6.  Scale the cutoff with the
+    child sample's median kmer coverage (threshold ~ depth/5, so ~10 at the
+    reference's depth) and clamp to [lo, hi]."""
+    c = joined.color_for_sample(child)
+    cov = joined.coverages[:, c]
+    cov = cov[cov > 0]
+    if cov.size == 0:
+        return lo
+    lam = float(np.median(cov))
+    return int(np.clip(int(np.ceil(lam / 5.0)), lo, hi))
+
+
 def find_low_coverage(roi: gr.CortexGraph, min_coverage: int = 10) -> gr.CortexGraph:
     """Excluded = ROI records with coverage < min (FindLowCoverage.java:32-66)."""
     mask = roi.coverages[:, 0] < min_coverage

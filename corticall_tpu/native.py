@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import sys
 
 import numpy as np
 
@@ -23,14 +24,83 @@ _tried = False
 
 
 def _build() -> bool:
+    """Compile the shared library ATOMICALLY: g++ writes to a process-unique
+    temp name, then os.replace publishes it.  An fcntl lock serializes
+    concurrent builders (two processes racing g++ onto the same output path
+    was the only unfenced way a process could dlopen a half-written .so —
+    the round-2 silent-kmer-loss suspect)."""
+    tmp = f"{_SO}.{os.getpid()}.tmp"
+    lock_path = _SO + ".lock"
     try:
+        import fcntl
+        lock = open(lock_path, "w")
+        fcntl.flock(lock.fileno(), fcntl.LOCK_EX)
+    except Exception:
+        lock = None
+    try:
+        # another process may have finished the build while we waited
+        if (os.path.exists(_SO) and os.path.exists(_SRC)
+                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+            return True
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             _SRC, "-o", _SO],
+             _SRC, "-o", tmp],
             check=True, capture_output=True, timeout=300)
+        os.replace(tmp, _SO)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
+    finally:
+        if lock is not None:
+            lock.close()
+
+
+def _self_test(lib) -> bool:
+    """Validate the loaded code actually computes: count the kmers of a known
+    string and check the exact result.  A corrupted .so (partial write,
+    interleaved concurrent builds) either fails dlopen or fails here — it
+    never silently miscounts a production graph."""
+    try:
+        lib.ct_count_kmers.restype = ctypes.c_int64
+        seq = b"ACGTACGTTTACG"  # k=5 -> 9 windows, known unique count
+        offsets = np.array([0, len(seq)], dtype=np.int64)
+        hi = ctypes.POINTER(ctypes.c_uint64)()
+        lo = ctypes.POINTER(ctypes.c_uint64)()
+        cov = ctypes.POINTER(ctypes.c_uint32)()
+        im = ctypes.POINTER(ctypes.c_uint8)()
+        om = ctypes.POINTER(ctypes.c_uint8)()
+        n = lib.ct_count_kmers(
+            ctypes.c_char_p(seq),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(1), ctypes.c_int32(5),
+            ctypes.byref(hi), ctypes.byref(lo), ctypes.byref(cov),
+            ctypes.byref(im), ctypes.byref(om))
+        if n <= 0 or n > 9:
+            return False
+        total = sum(cov[i] for i in range(n))
+        for p in (hi, lo, cov, im, om):
+            lib.ct_free(p)
+        # 9 windows, 7 unique canonicals (ACGTA and CGTAC each appear twice)
+        return total == 9 and n == 7
+    except Exception:
+        return False
+
+
+_warned_fallback = False
+
+
+def warn_fallback(reason: str) -> None:
+    """One-time loud stderr warning whenever a native consumer silently falls
+    back to the numpy path — a fallback must never be invisible again."""
+    global _warned_fallback
+    if not _warned_fallback:
+        _warned_fallback = True
+        print(f"[corticall_tpu] WARNING: native core unavailable ({reason}); "
+              "using numpy fallback (slower, same results)", file=sys.stderr)
 
 
 def get_lib():
@@ -41,10 +111,27 @@ def get_lib():
     if not os.path.exists(_SO) or (os.path.exists(_SRC) and
                                    os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
         if not _build():
+            warn_fallback("build failed")
             return None
     try:
         lib = ctypes.CDLL(_SO)
+        lib.ct_free.argtypes = [ctypes.c_void_p]
+        if not _self_test(lib):
+            # stale or corrupted artifact: rebuild once, atomically, and retry
+            try:
+                os.unlink(_SO)
+            except OSError:
+                pass
+            if not _build():
+                warn_fallback("self-test failed, rebuild failed")
+                return None
+            lib = ctypes.CDLL(_SO)
+            lib.ct_free.argtypes = [ctypes.c_void_p]
+            if not _self_test(lib):
+                warn_fallback("self-test failed after rebuild")
+                return None
     except OSError:
+        warn_fallback("dlopen failed")
         return None
     lib.ct_count_kmers.restype = ctypes.c_int64
     lib.ct_count_kmers.argtypes = [
@@ -96,6 +183,11 @@ def get_lib():
         ctypes.c_int32,
         ctypes.POINTER(_u64p), ctypes.POINTER(_u64p),
         ctypes.POINTER(_u8p), ctypes.POINTER(_i64p), ctypes.POINTER(_u8p),
+    ]
+    lib.ct_unitig_roots.restype = None
+    lib.ct_unitig_roots.argtypes = [
+        _u64p, _u64p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.c_int32, _i64p,
     ]
     lib.ct_links_walker_build.restype = ctypes.c_void_p
     lib.ct_links_walker_build.argtypes = [
@@ -290,6 +382,24 @@ def infer_edges_native(graph_kmers: np.ndarray, present: np.ndarray,
     return edges
 
 
+def unitig_roots_native(graph_kmers: np.ndarray, edges_color: np.ndarray,
+                        k: int):
+    """Per-record unitig root ids (union-find over unambiguous adjacencies),
+    or None when the native library is unavailable.  See ct_unitig_roots."""
+    lib = get_lib()
+    if lib is None or k > 64:
+        return None
+    khi, klo = _words_to_hilo(graph_kmers)
+    roots = np.empty(len(khi), dtype=np.int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.ct_unitig_roots(
+        khi.ctypes.data_as(u64p), klo.ctypes.data_as(u64p),
+        np.ascontiguousarray(edges_color, dtype=np.uint8)
+        .ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(khi), k, roots.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return roots
+
+
 def thread_scan_native(graph_kmers: np.ndarray, edges_color: np.ndarray,
                        k: int, sequences: list,
                        chunk_bases: int = 48_000_000):
@@ -429,7 +539,8 @@ class LinksWalkerNative:
         for lm in links_list:
             if lm.sample_name not in samples:
                 continue
-            keys = list(getattr(lm, "records", None) or lm.index)
+            recs = getattr(lm, "records", None)
+            keys = list(recs if recs is not None else lm.index)
             if not keys:
                 continue
             recs_idx = graph.find_records(

@@ -106,7 +106,7 @@ def run_pipeline(workdir: str, reads_by_sample: dict, child: str,
                  parents: list, references=None, k: int = 47,
                  min_coverage: int = 2, tip_length: int | None = None,
                  link_samples=None, prefilter: bool = True,
-                 lowcov_min: int = 5, max_walk: int = 2000,
+                 lowcov_min: int | str = "auto", max_walk: int = 2000,
                  trim_margin: int = 500, resume: bool = True,
                  caller_opts: dict | None = None, log=None,
                  clean: bool = True, prefilters=None) -> dict:
@@ -184,8 +184,11 @@ def run_pipeline(workdir: str, reads_by_sample: dict, child: str,
                 per["dust"] = e.num_records
                 excluded.append(e)
             if "lowcov" in prefilters:
-                e = core.find_low_coverage(rois, min_coverage=lowcov_min)
+                m = (core.adaptive_lowcov_threshold(joined, child)
+                     if lowcov_min == "auto" else lowcov_min)
+                e = core.find_low_coverage(rois, min_coverage=m)
                 per["lowcov"] = e.num_records
+                per["lowcov_threshold"] = m
                 excluded.append(e)
             if "lowcomplexity" in prefilters:
                 e = core.find_low_complexity(joined, rois, parents)

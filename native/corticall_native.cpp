@@ -615,6 +615,100 @@ void ct_infer_edges(const uint64_t* khi, const uint64_t* klo,
     }
 }
 
+// Unitig decomposition: union-find over unambiguous adjacencies (out-degree 1
+// from a record's orientation AND in-degree 1 into the successor's
+// orientation).  Twin of `mccortex clean`'s unitig model (the reference WDL
+// runs `mccortex63 clean -B 2`, Simulate.wdl:620-666: auto coverage threshold
+// over UNITIGS, not kmers): every maximal single-path chain gets one root id
+// in out_root so the caller can threshold whole unitigs by their mean
+// coverage.
+void ct_unitig_roots(const uint64_t* khi, const uint64_t* klo,
+                     const uint8_t* edges, int64_t n, int32_t k,
+                     int64_t* out_root) {
+    if (n == 0) return;
+    const int shift_top = 2 * (k - 1);
+    const bool one_word = k <= 32;
+    const uint64_t lo_mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    const uint64_t hi_mask = (k <= 32) ? 0ULL
+                            : ((k == 64) ? ~0ULL : ((1ULL << (2 * (k - 32))) - 1));
+
+    struct IdxSlot { uint64_t hi, lo; uint32_t idx; };
+    uint64_t cap = 16;
+    while (cap < (uint64_t)(n + n / 2 + 1)) cap <<= 1;
+    const uint64_t mask = cap - 1;
+    std::vector<IdxSlot> slots(cap, IdxSlot{0, 0, 0xFFFFFFFFu});
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = mix64(khi[i] ^ mix64(klo[i])) & mask;
+        while (slots[h].idx != 0xFFFFFFFFu) h = (h + 1) & mask;
+        slots[h] = IdxSlot{khi[i], klo[i], (uint32_t)i};
+    }
+    auto lookup = [&](uint64_t hi, uint64_t lo) -> int64_t {
+        uint64_t h = mix64(hi ^ mix64(lo)) & mask;
+        while (slots[h].idx != 0xFFFFFFFFu) {
+            if (slots[h].hi == hi && slots[h].lo == lo)
+                return (int64_t)slots[h].idx;
+            h = (h + 1) & mask;
+        }
+        return -1;
+    };
+
+    std::vector<int64_t> up(n);
+    for (int64_t i = 0; i < n; i++) up[i] = i;
+    auto find = [&](int64_t x) {
+        while (up[x] != x) { up[x] = up[up[x]]; x = up[x]; }
+        return x;
+    };
+
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t e = edges[i];
+        const uint64_t fhi = khi[i], flo = klo[i];
+        // rc of the record kmer, computed once
+        uint64_t rhi = 0, rlo = 0;
+        for (int32_t t = 0; t < k; t++) {
+            const int sh = 2 * t;
+            const uint64_t b = (sh >= 64 ? (fhi >> (sh - 64)) : (flo >> sh)) & 3ULL;
+            rhi = (rhi << 2) | (rlo >> 62);
+            rlo = (rlo << 2) | (3 - b);
+        }
+        rhi &= hi_mask;
+        if (one_word) { rlo &= lo_mask; rhi = 0; }
+
+        for (int flip = 0; flip < 2; flip++) {
+            const uint8_t nm = flip ? (uint8_t)(e >> 4) : (uint8_t)(e & 0xF);
+            if (!nm || (nm & (nm - 1))) continue;     // out-degree != 1
+            int b = 0;
+            while (!((nm >> b) & 1)) b++;
+            // walk kmer = flip ? rc : fwd; successor = shift-append b
+            const uint64_t whi = flip ? rhi : fhi;
+            const uint64_t wlo = flip ? rlo : flo;
+            const uint64_t vhi = flip ? fhi : rhi;    // rc of walk kmer
+            const uint64_t vlo = flip ? flo : rlo;
+            uint64_t shi = ((whi << 2) | (wlo >> 62)) & hi_mask;
+            uint64_t slo = (wlo << 2) | (uint64_t)b;
+            if (one_word) { slo &= lo_mask; shi = 0; }
+            uint64_t srlo = (vlo >> 2) | (vhi << 62);
+            uint64_t srhi = vhi >> 2;
+            const uint64_t cb = 3 - (uint64_t)b;
+            if (shift_top >= 64) srhi |= cb << (shift_top - 64);
+            else srlo |= cb << shift_top;
+            if (one_word) { srlo &= lo_mask; srhi = 0; }
+            else { srhi &= hi_mask; }
+            const bool sflip = one_word ? (srlo < slo)
+                             : (srhi != shi ? srhi < shi : srlo < slo);
+            const int64_t j = lookup(sflip ? srhi : shi, sflip ? srlo : slo);
+            if (j < 0) continue;
+            const uint8_t ej = edges[j];
+            const uint8_t back = sflip ? (uint8_t)(ej & 0xF)
+                                       : (uint8_t)(ej >> 4);
+            if (back && !(back & (back - 1))) {       // in-degree 1: same unitig
+                const int64_t ra = find(i), rb = find(j);
+                if (ra != rb) up[rb] = ra;
+            }
+        }
+    }
+    for (int64_t i = 0; i < n; i++) out_root[i] = find(i);
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -118,3 +118,38 @@ def test_pipeline_resume_after_partial_run(tmp_path, trio):
     assert any(not v.is_symbolic()
                and len(v.alleles[1]) - len(v.alleles[0]) == len(ins)
                for v in res["variants"])
+
+
+def test_reads_mode_pipeline_smoke_at_scale(tmp_path):
+    """0.3 Mbp reads-mode smoke (round-2 verdict item 10): the demo's exact
+    configuration — error-bearing reads, links, prefilters — exercised in CI,
+    with the novel-kmer recall asserted so silent kmer loss fails loudly."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from demo_pf_cross import make_cross
+    from corticall_tpu import simulate as sim
+    from corticall_tpu.commands import more
+    from corticall_tpu.models.reference_index import IndexedReference
+
+    k = 47
+    rng = np.random.default_rng(42)
+    mom, dad = make_cross(rng, 0.3, 2, 0.003)
+    res = sim.simulate_haploid_child(mom, dad, parents=("mom", "dad"),
+                                     mu=2.0, num_variants=4, k=k, seed=7)
+    reads = {
+        "kid": sim.simulate_reads(list(res["child"].values()), 20.0, 150,
+                                  0.002, seed=11),
+        "mom": sim.simulate_reads(list(mom.values()), 20.0, 150, 0.002,
+                                  seed=12),
+        "dad": sim.simulate_reads(list(dad.values()), 20.0, 150, 0.002,
+                                  seed=13),
+    }
+    refs = {"mom": IndexedReference(mom), "dad": IndexedReference(dad)}
+    out = run_pipeline(str(tmp_path / "wd"), reads, "kid", ["mom", "dad"],
+                       references=refs, k=k, min_coverage=2, max_walk=2000)
+    rois = out["rois"]
+    assert rois.num_records > 0
+    stats = more.evaluate_rois(rois, res["kmers"])
+    # every truth novel kmer must survive build+clean+prefilters at 20x
+    assert stats["fn"] == 0, stats
+    assert len(out["variants"]) > 0
