@@ -29,6 +29,58 @@ from ..traversal.stopping import ContigStopper, DestinationStopper
 from ..traversal.subgraph import Subgraph, Vertex
 from .variants import Variant, VariantSorterSet, write_vcf
 
+# vectorized canonical-kmer hashing for link-key membership: a hash
+# collision only routes one more chain to the exact linked replay (the
+# correctness oracle), so false positives are safe and false negatives
+# impossible
+_HASH_POWERS: dict = {}
+
+
+def _kmer_hash_codes(codes: np.ndarray) -> np.ndarray:
+    """uint8[N, k] base codes -> uint64[N] polynomial hashes (wraparound)."""
+    k = codes.shape[1]
+    p = _HASH_POWERS.get(k)
+    if p is None:
+        p = np.empty(k, np.uint64)
+        x = np.uint64(1)
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        for i in range(k):
+            p[i] = x
+            x = x * mult
+        _HASH_POWERS[k] = p
+    return (codes.astype(np.uint64) * p[None, :]).sum(axis=1,
+                                                      dtype=np.uint64)
+
+
+def graph_from_dfs_edges(graph, edges, seed_kmer: str, color: int,
+                         reverse: bool) -> Subgraph:
+    """Rebuild the Subgraph a host engine.dfs would return from a native
+    dfs_dest edge list (closeGaps probes).  reverse probes ran forward in
+    revcomp space: map each vertex back (rc kmer, negated copy), flip edge
+    direction, and tag non-seed vertices with the post-dfs direction index
+    (TraversalEngine.java:75-81)."""
+    gg = Subgraph()
+    vcache: dict = {}
+
+    def vert(kmer_str, copy):
+        if reverse:
+            kmer_str = km.revcomp(kmer_str)
+            copy = -copy
+        v = vcache.get((kmer_str, copy))
+        if v is None:
+            idx = (0 if (kmer_str == seed_kmer and copy == 0)
+                   else (-1 if reverse else 1))
+            v = Vertex(kmer_str, graph.find_record(kmer_str), copy, idx)
+            vcache[(kmer_str, copy)] = v
+        return v
+
+    for (u, uc), (v, vc) in edges:
+        if reverse:
+            gg.add_edge(vert(v, vc), vert(u, uc), color)
+        else:
+            gg.add_edge(vert(u, uc), vert(v, vc), color)
+    return gg
+
 
 class Caller:
     def __init__(self, graph, rois_graph, partitions, backgrounds,
@@ -126,10 +178,18 @@ class Caller:
         if w is None:
             samples = {self.graph.sample_name(c) for c in colors}
             active = [lm for lm in self.links if lm.sample_name in samples]
-            link_keys: set = set()
+            key_strs: set = set()
             for lm in active:
-                link_keys |= set(getattr(lm, "records", None)
-                                 or getattr(lm, "index", {}))
+                idx = getattr(lm, "index", None)
+                key_strs |= set(idx if idx is not None
+                                else getattr(lm, "records", {}))
+            # canonical link-carrying kmers as sorted uint64 hashes:
+            # membership tests run vectorized per walked path instead of
+            # string-decoding every window
+            link_keys = None
+            if key_strs:
+                link_keys = np.unique(_kmer_hash_codes(
+                    km.strings_to_codes(sorted(key_strs))))
             from .. import native as nat
             table = linked = None
             if nat.available():
@@ -137,9 +197,10 @@ class Caller:
                     self.graph.edges[:, list(colors)], axis=1)
                 table = nat.WalkTableNative(
                     np.ascontiguousarray(self.graph.kmers), edges, self.k)
-                if active:
-                    linked = nat.LinksWalkerNative(self.graph, list(colors),
-                                                   active)
+                # built even with no active links: the dfs probes
+                # (close_gaps) need the packed table either way
+                linked = nat.LinksWalkerNative(self.graph, list(colors),
+                                               active)
             w = (table, link_keys, linked)
             self._walkers[key] = w
         return w
@@ -168,13 +229,15 @@ class Caller:
         for i, s in enumerate(seeds):
             fwd = replay_walk(s, fb[i], bool(fc[i]), max_branch)
             back = replay_walk(rc[i], rb[i], bool(rcy[i]), max_branch)
-            if link_keys:
+            if link_keys is not None:
                 path = (km.revcomp(back) if back else "") + s + fwd
                 codes = km.string_to_codes_permissive(path)
                 wins = km.kmerize_codes(codes, k)
                 canon, _ = km.canonicalize_codes(wins)
-                if any(w in link_keys
-                       for w in km.codes_to_strings(canon)):
+                h = _kmer_hash_codes(canon)
+                pos = np.minimum(np.searchsorted(link_keys, h),
+                                 len(link_keys) - 1)
+                if bool(np.any(link_keys[pos] == h)):
                     relink.append(i)
                     out.append(None)
                     continue
@@ -336,30 +399,69 @@ class Caller:
         ef = self._engine(colors, FORWARD, ContigStopper, max_branch=10)
         er = self._engine(colors, REVERSE, ContigStopper, max_branch=10)
 
+        # ContigStopper never reads the sink, so the forward probe depends
+        # only on e0 and the reverse probe only on e1 (Call.java:2288-2346
+        # behavior) — cache one probe per end instead of O(ends^2) dfs calls;
+        # the pair loop and removal order below are unchanged.
+        fwd_ok: dict = {}
+        rev_ok: dict = {}
         to_remove: set = set()
         ends_sorted = sorted(ends, key=lambda v: (v.kmer, v.copy, v.index))
         for e0 in ends_sorted:
             for e1 in ends_sorted:
                 if e0 != e1 and e0 not in to_remove and e1 not in to_remove:
-                    rc = km.revcomp(e1.kmer)
-                    gf = ef.dfs(e0.kmer, rc)
-                    gr = er.dfs(rc, e0.kmer)
-                    if ((gf is not None and gf.num_vertices() > 0)
-                            or (gr is not None and gr.num_vertices() > 0)):
+                    if e0 not in fwd_ok:
+                        gf = ef.dfs(e0.kmer, km.revcomp(e1.kmer))
+                        fwd_ok[e0] = gf is not None and gf.num_vertices() > 0
+                    if e1 not in rev_ok:
+                        rc = km.revcomp(e1.kmer)
+                        gr = er.dfs(rc, e0.kmer)
+                        rev_ok[e1] = gr is not None and gr.num_vertices() > 0
+                    if fwd_ok[e0] or rev_ok[e1]:
                         to_remove.add(e0)
                         to_remove.add(e1)
         return ends - to_remove
 
     def close_gaps(self, colors, g: Subgraph, in_ends, out_ends) -> None:
+        pairs = [(ie, oe) for ie in sorted(in_ends, key=lambda v: v.kmer)
+                 for oe in sorted(out_ends, key=lambda v: v.kmer)]
+        if not pairs:
+            return
+        _, _, linked = self._chain_walker(colors)
+        if linked is not None:
+            # batched native probes (exact engine/DestinationStopper twin);
+            # reverse probes run forward from the revcomp seed
+            use_links = bool(self.links)
+            fs, fed = linked.dfs_dest([ie.kmer for ie, _ in pairs],
+                                      [oe.kmer for _, oe in pairs],
+                                      use_links=use_links)
+            retry = [i for i in range(len(pairs)) if not (fs[i] and fed[i])]
+            if retry:
+                rs, red = linked.dfs_dest(
+                    [km.revcomp(pairs[i][1].kmer) for i in retry],
+                    [km.revcomp(pairs[i][0].kmer) for i in retry],
+                    use_links=use_links)
+                rpos = {p: j for j, p in enumerate(retry)}
+            for i, (ie, oe) in enumerate(pairs):
+                if fs[i] and fed[i]:
+                    g.add_graph(graph_from_dfs_edges(
+                        self.graph, fed[i], ie.kmer, colors[0],
+                        reverse=False))
+                else:
+                    j = rpos[i]
+                    if rs[j] and red[j]:
+                        g.add_graph(graph_from_dfs_edges(
+                            self.graph, red[j], oe.kmer, colors[0],
+                            reverse=True))
+            return
         ef = self._engine(colors, FORWARD, DestinationStopper)
         er = self._engine(colors, REVERSE, DestinationStopper)
-        for ie in sorted(in_ends, key=lambda v: v.kmer):
-            for oe in sorted(out_ends, key=lambda v: v.kmer):
-                gg = ef.dfs(ie.kmer, oe.kmer)
-                if gg is None or gg.num_vertices() == 0:
-                    gg = er.dfs(oe.kmer, ie.kmer)
-                if gg is not None and gg.num_vertices() > 0:
-                    g.add_graph(gg)
+        for ie, oe in pairs:
+            gg = ef.dfs(ie.kmer, oe.kmer)
+            if gg is None or gg.num_vertices() == 0:
+                gg = er.dfs(oe.kmer, ie.kmer)
+            if gg is not None and gg.num_vertices() > 0:
+                g.add_graph(gg)
 
     def extend_flanks(self, colors, g: Subgraph, in_ends, out_ends) -> None:
         seeds = [cv.kmer for cvs in (in_ends, out_ends)
@@ -551,15 +653,7 @@ class Caller:
     # child flank helper shared by the callers
     # ------------------------------------------------------------------
     def _child_hap(self, lps, nr) -> str:
-        child_left = nr[0]
-        num_left = 0
-        while child_left > 0 and num_left <= self.k:
-            if self.child_column(lps, child_left) != "-":
-                num_left += 1
-            child_left -= 1
-            if not (child_left > 0 and num_left <= self.k):
-                break
-        # faithful port of the for-loop bounds (Call.java:1409-1424)
+        # flank bounds per Call.java:1409-1424
         child_left = nr[0]
         num_left = 0
         while child_left > 0 and num_left <= self.k:

@@ -201,6 +201,16 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    _i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.ct_dfs_dest.restype = ctypes.c_int64
+    lib.ct_dfs_dest.argtypes = [
+        ctypes.c_void_p, _u64p, _u64p, _u64p, _u64p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(_i64p), ctypes.POINTER(_u64p), ctypes.POINTER(_u64p),
+        ctypes.POINTER(_i32p), ctypes.POINTER(_u64p), ctypes.POINTER(_u64p),
+        ctypes.POINTER(_i32p),
+    ]
     _lib = lib
     return _lib
 
@@ -539,18 +549,21 @@ class LinksWalkerNative:
         for lm in links_list:
             if lm.sample_name not in samples:
                 continue
+            # materialize each links file exactly once: lm.records is a
+            # full-scan *property* on LinksRandomAccess, so per-key access
+            # through it is O(N^2) bgzf reads
             recs = getattr(lm, "records", None)
-            keys = list(recs if recs is not None else lm.index)
-            if not keys:
+            if recs is None:
+                recs = {kk: lm.get(kk) for kk in lm.index}
+            if not recs:
                 continue
+            keys = list(recs)
             recs_idx = graph.find_records(
                 km.pack_codes(km.strings_to_codes(keys), self.k))
             for s, rec in zip(keys, recs_idx):
                 if rec < 0:
                     continue
-                jrs = (lm.records[s] if hasattr(lm, "records")
-                       else lm.get(s))
-                per_record.setdefault(int(rec), []).extend(jrs)
+                per_record.setdefault(int(rec), []).extend(recs[s])
 
         loff = _np.zeros(n + 1, dtype=_np.int64)
         fw_l, ch_l, choff_l = [], [], [0]
@@ -605,6 +618,71 @@ class LinksWalkerNative:
         lut = np.frombuffer(b"ACGT", dtype=np.uint8)
         exts = [lut[bases[i, :steps[i]]].tobytes().decode() for i in range(b)]
         return exts, junctions
+
+    def dfs_dest(self, sources: list, sinks: list, max_branch: int = 75000,
+                 use_links: bool = True):
+        """Batched closeGaps probes (Call.java:2232-2263): FORWARD dfs with
+        DestinationStopper from each walk-orientation source kmer toward its
+        sink.  REVERSE probes = pass revcomped source/sink and flip the
+        returned edges.  Returns (success bool[B], edges list[B]) where each
+        probe's edges are [((u_kmer, u_copy), (v_kmer, v_copy)), ...] in walk
+        orientation; use_links mirrors whether the engine config had links."""
+        from . import kmer as km
+        b = len(sources)
+        if not b:
+            return np.zeros(0, bool), []
+        shi, slo = _words_to_hilo(
+            km.pack_codes(km.strings_to_codes(sources), self.k))
+        thi, tlo = _words_to_hilo(
+            km.pack_codes(km.strings_to_codes(sinks), self.k))
+        success = np.zeros(b, dtype=np.uint8)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        eoff_p = i64p()
+        uh_p, ul_p, vh_p, vl_p = u64p(), u64p(), u64p(), u64p()
+        uc_p, vc_p = i32p(), i32p()
+        E = self._lib.ct_dfs_dest(
+            self._handle, shi.ctypes.data_as(u64p), slo.ctypes.data_as(u64p),
+            thi.ctypes.data_as(u64p), tlo.ctypes.data_as(u64p),
+            b, max_branch, 1 if use_links else 0,
+            success.ctypes.data_as(u8p), ctypes.byref(eoff_p),
+            ctypes.byref(uh_p), ctypes.byref(ul_p), ctypes.byref(uc_p),
+            ctypes.byref(vh_p), ctypes.byref(vl_p), ctypes.byref(vc_p))
+        if E < 0:
+            raise MemoryError("ct_dfs_dest allocation failed")
+
+        def grab(ptr, ctype, dtype, count):
+            if not count:
+                return np.zeros(0, dtype)
+            buf = (ctype * count).from_address(
+                ctypes.cast(ptr, ctypes.c_void_p).value)
+            return np.frombuffer(buf, dtype=dtype).copy()
+
+        try:
+            eoff = grab(eoff_p, ctypes.c_int64, np.int64, b + 1)
+            uh = grab(uh_p, ctypes.c_uint64, np.uint64, E)
+            ul = grab(ul_p, ctypes.c_uint64, np.uint64, E)
+            uc = grab(uc_p, ctypes.c_int32, np.int32, E)
+            vh = grab(vh_p, ctypes.c_uint64, np.uint64, E)
+            vl = grab(vl_p, ctypes.c_uint64, np.uint64, E)
+            vc = grab(vc_p, ctypes.c_int32, np.int32, E)
+        finally:
+            for p in (eoff_p, uh_p, ul_p, uc_p, vh_p, vl_p, vc_p):
+                self._lib.ct_free(p)
+
+        w = km.words_per_kmer(self.k)
+        u_strs = km.codes_to_strings(
+            km.unpack_words(_hilo_to_words(uh, ul, w), self.k)) if E else []
+        v_strs = km.codes_to_strings(
+            km.unpack_words(_hilo_to_words(vh, vl, w), self.k)) if E else []
+        edges = []
+        for i in range(b):
+            lo_i, hi_i = int(eoff[i]), int(eoff[i + 1])
+            edges.append([((u_strs[j], int(uc[j])), (v_strs[j], int(vc[j])))
+                          for j in range(lo_i, hi_i)])
+        return success.astype(bool), edges
 
     def __del__(self):
         try:

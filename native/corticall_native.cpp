@@ -12,6 +12,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstdlib>
+#include <cmath>
 #include <cstring>
 #include <unordered_set>
 #include <vector>
@@ -751,6 +752,218 @@ struct Key128Hash {
     }
 };
 
+// Exact single-step cursor (TraversalEngine.java:241-279 + LinkStore.java:
+// 58-144): seek resets link store + seen set and computes the single next
+// base by degree; advance() moves one step, feeding the link store and
+// resolving junctions by oldest-agreement link choice.  Shared by the
+// batched chain walker (ct_walk_links_host) and the DFS probes
+// (ct_dfs_dest).
+struct LinkCursor {
+    const LinksWalkTable* t;
+    int32_t k, shift_top;
+    bool one_word;
+    uint64_t lo_mask, hi_mask;
+    uint64_t fhi, flo, rhi, rlo;   // cursor kmer, walk orientation + rc
+    int next_base;                 // -1 == no single advance
+    bool initialized;
+    int32_t junctions;             // link-resolved junction advances
+    std::vector<LSGroup> groups;
+    std::unordered_set<Key128, Key128Hash> seen;
+
+    explicit LinkCursor(const LinksWalkTable* tt)
+        : t(tt), k(tt->k), shift_top(2 * (tt->k - 1)), one_word(tt->k <= 32),
+          lo_mask((tt->k >= 32) ? ~0ULL : ((1ULL << (2 * tt->k)) - 1)),
+          hi_mask((tt->k <= 32) ? 0ULL
+                  : ((tt->k == 64) ? ~0ULL
+                                   : ((1ULL << (2 * (tt->k - 32))) - 1))),
+          fhi(0), flo(0), rhi(0), rlo(0), next_base(-1), initialized(false),
+          junctions(0) {}
+
+    int64_t lookup(uint64_t chi, uint64_t clo) const {
+        uint64_t h = mix64(chi ^ mix64(clo)) & t->mask;
+        while (t->slots[h].idx >= 0) {
+            if (t->slots[h].hi == chi && t->slots[h].lo == clo)
+                return t->slots[h].idx;
+            h = (h + 1) & t->mask;
+        }
+        return -1;
+    }
+
+    void compute_rc() {
+        uint64_t xhi = 0, xlo = 0;
+        for (int32_t i = 0; i < k; i++) {
+            const int sh = 2 * i;
+            const uint64_t base =
+                (sh >= 64 ? (fhi >> (sh - 64)) : (flo >> sh)) & 3ULL;
+            xhi = (xhi << 2) | (xlo >> 62);
+            xlo = (xlo << 2) | (3 - base);
+        }
+        rhi = xhi & hi_mask;
+        rlo = xlo;
+        if (one_word) { rlo &= lo_mask; rhi = 0; }
+    }
+
+    // out-edge mask of an arbitrary kmer given walk orientation + its rc
+    uint8_t next_mask_of(uint64_t xfhi, uint64_t xflo,
+                         uint64_t xrhi, uint64_t xrlo) const {
+        const bool flipped = one_word ? (xrlo < xflo)
+                           : (xrhi != xfhi ? xrhi < xfhi : xrlo < xflo);
+        const int64_t idx = lookup(flipped ? xrhi : xfhi,
+                                   flipped ? xrlo : xflo);
+        const uint8_t e = idx >= 0 ? t->edges[idx] : 0;
+        return flipped ? (uint8_t)(e >> 4) : (uint8_t)(e & 0xF);
+    }
+
+    void seek(uint64_t shi, uint64_t slo) {
+        fhi = shi; flo = slo;
+        compute_rc();
+        groups.clear();
+        seen.clear();
+        initialized = false;
+        junctions = 0;
+        const uint8_t nm = next_mask_of(fhi, flo, rhi, rlo);
+        next_base = -1;
+        if (nm && !(nm & (nm - 1))) {
+            next_base = 0;
+            while (!((nm >> next_base) & 1)) next_base++;
+        }
+    }
+
+    bool has_next() const { return next_base >= 0; }
+
+    bool store_active() const {
+        for (const LSGroup& g : groups) if (!g.els.empty()) return true;
+        return false;
+    }
+    int num_new_paths() const {
+        int n2 = 0;
+        for (const LSGroup& g : groups)
+            for (const LSElement& e : g.els) if (e.age == 0) n2++;
+        return n2;
+    }
+    void increment_ages() {
+        for (LSGroup& g : groups)
+            for (LSElement& e : g.els) e.age++;
+    }
+
+    // add links of the kmer (walk orientation) — linkstore.py::add with
+    // go_forward=True: keep records with (not flipped) == rec.fw, junction
+    // codes untransformed
+    void add_links(uint64_t wfhi, uint64_t wflo,
+                   uint64_t wrhi, uint64_t wrlo) {
+        const bool flipped = one_word ? (wrlo < wflo)
+                           : (wrhi != wfhi ? wrhi < wfhi : wrlo < wflo);
+        const uint64_t chi = flipped ? wrhi : wfhi;
+        const uint64_t clo = flipped ? wrlo : wflo;
+        const int64_t idx = lookup(chi, clo);
+        if (idx < 0) return;
+        for (int64_t r = t->loff[idx]; r < t->loff[idx + 1]; r++) {
+            if (((uint8_t)(!flipped)) != t->lfw[r]) continue;
+            const uint8_t* junc = t->pool.data() + t->choff[r];
+            const int32_t len = (int32_t)(t->choff[r + 1] - t->choff[r]);
+            // group by junction string, insertion-ordered; dead groups are
+            // skipped so a re-added key lands at the end (matching Python
+            // dict delete-then-setdefault)
+            bool found = false;
+            for (LSGroup& g : groups) {
+                if (!g.els.empty() && g.len == len
+                    && memcmp(g.junc, junc, (size_t)len) == 0) {
+                    g.els.push_back(LSElement{0, 0});
+                    found = true;
+                    break;
+                }
+            }
+            if (!found) {
+                groups.push_back(LSGroup{junc, len, {LSElement{0, 0}}});
+            }
+        }
+    }
+
+    // oldest-agreement junction choice + consume; -1 when ambiguous or
+    // store empty (linkstore.py::next_junction_choice/_consume)
+    int next_junction_choice() {
+        int32_t max_age = -1;
+        for (const LSGroup& g : groups)
+            for (const LSElement& e : g.els)
+                if (e.age > max_age) max_age = e.age;
+        if (max_age < 0) return -1;
+        int agree_char = -2;
+        const LSGroup* first_oldest_group = nullptr;
+        for (const LSGroup& g : groups) {
+            for (const LSElement& e : g.els) {
+                if (e.age != max_age || e.pos >= g.len) continue;
+                if (!first_oldest_group) first_oldest_group = &g;
+                const int c = g.junc[e.pos];
+                if (agree_char == -2) agree_char = c;
+                else if (agree_char != c) return -1;
+            }
+        }
+        if (!first_oldest_group || agree_char < 0) return -1;
+        // the emitted char comes from the LAST element of the chosen
+        // junction list (LinkStore.java:128-131); at most one live group per
+        // junction string, and the first oldest element lives in it
+        const LSGroup& cg = *first_oldest_group;
+        const int choice = cg.junc[cg.els.back().pos];
+        for (LSGroup& g : groups) {
+            std::vector<LSElement> keep;
+            for (LSElement& e : g.els) {
+                if (e.pos + 1 >= g.len || g.junc[e.pos] != (uint8_t)choice)
+                    continue;
+                e.pos++;
+                keep.push_back(e);
+            }
+            g.els.swap(keep);
+        }
+        return choice;
+    }
+
+    // Move one step (requires has_next()); returns the base advanced over
+    // and leaves the cursor at the new kmer with next_base set for the
+    // following step (TraversalEngine.next semantics).
+    int advance() {
+        const int base = next_base;
+        if (!initialized) { add_links(fhi, flo, rhi, rlo); initialized = true; }
+        uint64_t nfhi = ((fhi << 2) | (flo >> 62)) & hi_mask;
+        uint64_t nflo = (flo << 2) | (uint64_t)base;
+        if (one_word) { nflo &= lo_mask; nfhi = 0; }
+        uint64_t nrlo = (rlo >> 2) | (rhi << 62);
+        uint64_t nrhi = rhi >> 2;
+        const uint64_t cb = 3 - (uint64_t)base;
+        if (shift_top >= 64) nrhi |= cb << (shift_top - 64);
+        else nrlo |= cb << shift_top;
+        if (one_word) { nrlo &= lo_mask; nrhi = 0; }
+        else { nrhi &= hi_mask; }
+
+        add_links(nfhi, nflo, nrhi, nrlo);     // _update_link_store
+        fhi = nfhi; flo = nflo; rhi = nrhi; rlo = nrlo;
+
+        const uint8_t nm = next_mask_of(fhi, flo, rhi, rlo);
+        const int deg = __builtin_popcount(nm);
+        next_base = -1;
+        if (deg == 1) {
+            int nb = 0;
+            while (!((nm >> nb) & 1)) nb++;
+            uint64_t phi = ((fhi << 2) | (flo >> 62)) & hi_mask;
+            uint64_t plo = (flo << 2) | (uint64_t)nb;
+            if (one_word) { plo &= lo_mask; phi = 0; }
+            Key128 key{phi, plo};
+            if (!seen.count(key) || store_active()) {
+                next_base = nb;
+                seen.insert(key);
+            }
+        } else if (deg > 1) {
+            const int choice = next_junction_choice();
+            if (choice >= 0 && ((nm >> choice) & 1)) {
+                next_base = choice;
+                junctions++;
+            }
+            increment_ages();
+        }
+        if (num_new_paths() > 0) increment_ages();
+        return base;
+    }
+};
+
 }  // namespace
 
 extern "C" {
@@ -789,14 +1002,47 @@ void ct_walk_links_host(void* handle, const uint64_t* shi, const uint64_t* slo,
                         int8_t* out_bases, int32_t* out_steps,
                         int32_t* out_junctions) {
     const LinksWalkTable* t = (const LinksWalkTable*)handle;
-    const int32_t k = t->k;
-    const int shift_top = 2 * (k - 1);
-    const bool one_word = k <= 32;
-    const uint64_t lo_mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
-    const uint64_t hi_mask = (k <= 32) ? 0ULL
-                            : ((k == 64) ? ~0ULL : ((1ULL << (2 * (k - 32))) - 1));
+    LinkCursor cur(t);
+    for (int64_t wi = 0; wi < b; wi++) {
+        int8_t* bases = out_bases + wi * (int64_t)max_steps;
+        for (int32_t i = 0; i < max_steps; i++) bases[i] = -1;
+        cur.seek(shi[wi], slo[wi]);
+        int32_t steps = 0;
+        while (cur.has_next() && steps < max_steps) {
+            bases[steps] = (int8_t)cur.advance();
+            steps++;
+        }
+        out_steps[wi] = steps;
+        out_junctions[wi] = cur.junctions;
+    }
+}
 
-    auto lookup = [&](uint64_t chi, uint64_t clo) -> int64_t {
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched DFS probes with DestinationStopper semantics — the closeGaps hot
+// path (Call.java:2232-2263): exact twin of traversal/engine.py::_dfs_branch
+// (TraversalEngine.java:355-481) with stopping.DestinationStopper — junction
+// budget decays exponentially with accumulated graph size; a probe succeeds
+// on reaching the sink kmer.  REVERSE probes are run by the caller as
+// forward probes from the revcomp seed (the equivalence the batched chain
+// walker already relies on).
+
+namespace {
+
+struct KOps {
+    const LinksWalkTable* t;
+    int32_t k, shift_top;
+    bool one_word;
+    uint64_t lo_mask, hi_mask;
+    explicit KOps(const LinksWalkTable* tt)
+        : t(tt), k(tt->k), shift_top(2 * (tt->k - 1)), one_word(tt->k <= 32),
+          lo_mask((tt->k >= 32) ? ~0ULL : ((1ULL << (2 * tt->k)) - 1)),
+          hi_mask((tt->k <= 32) ? 0ULL
+                  : ((tt->k == 64) ? ~0ULL
+                                   : ((1ULL << (2 * (tt->k - 32))) - 1))) {}
+
+    int64_t lookup(uint64_t chi, uint64_t clo) const {
         uint64_t h = mix64(chi ^ mix64(clo)) & t->mask;
         while (t->slots[h].idx >= 0) {
             if (t->slots[h].hi == chi && t->slots[h].lo == clo)
@@ -804,181 +1050,190 @@ void ct_walk_links_host(void* handle, const uint64_t* shi, const uint64_t* slo,
             h = (h + 1) & t->mask;
         }
         return -1;
-    };
+    }
 
-    for (int64_t wi = 0; wi < b; wi++) {
-        int8_t* bases = out_bases + wi * (int64_t)max_steps;
-        for (int32_t i = 0; i < max_steps; i++) bases[i] = -1;
-
-        // walk-orientation kmer + its rc (for canonical lookups)
-        uint64_t fhi = shi[wi], flo = slo[wi];
-        uint64_t rhi = 0, rlo = 0;
+    void rc_of(uint64_t fh, uint64_t fl, uint64_t& rh, uint64_t& rl) const {
+        uint64_t xhi = 0, xlo = 0;
         for (int32_t i = 0; i < k; i++) {
             const int sh = 2 * i;
             const uint64_t base =
-                (sh >= 64 ? (fhi >> (sh - 64)) : (flo >> sh)) & 3ULL;
-            rhi = (rhi << 2) | (rlo >> 62);
-            rlo = (rlo << 2) | (3 - base);
+                (sh >= 64 ? (fh >> (sh - 64)) : (fl >> sh)) & 3ULL;
+            xhi = (xhi << 2) | (xlo >> 62);
+            xlo = (xlo << 2) | (3 - base);
         }
-        rhi &= hi_mask;
-        if (one_word) { rlo &= lo_mask; rhi = 0; }
-
-        std::vector<LSGroup> groups;
-        auto store_active = [&]() {
-            for (const LSGroup& g : groups) if (!g.els.empty()) return true;
-            return false;
-        };
-        auto num_new_paths = [&]() {
-            int n2 = 0;
-            for (const LSGroup& g : groups)
-                for (const LSElement& e : g.els) if (e.age == 0) n2++;
-            return n2;
-        };
-        auto increment_ages = [&]() {
-            for (LSGroup& g : groups)
-                for (LSElement& e : g.els) e.age++;
-        };
-        // add links of the kmer (walk orientation wf) — linkstore.py::add
-        // with go_forward=True: keep records with (not flipped) == rec.fw,
-        // junction codes untransformed
-        auto add_links = [&](uint64_t wfhi, uint64_t wflo,
-                             uint64_t wrhi, uint64_t wrlo) {
-            const bool flipped = one_word ? (wrlo < wflo)
-                               : (wrhi != wfhi ? wrhi < wfhi : wrlo < wflo);
-            const uint64_t chi = flipped ? wrhi : wfhi;
-            const uint64_t clo = flipped ? wrlo : wflo;
-            const int64_t idx = lookup(chi, clo);
-            if (idx < 0) return;
-            for (int64_t r = t->loff[idx]; r < t->loff[idx + 1]; r++) {
-                if (((uint8_t)(!flipped)) != t->lfw[r]) continue;
-                const uint8_t* junc = t->pool.data() + t->choff[r];
-                const int32_t len = (int32_t)(t->choff[r + 1] - t->choff[r]);
-                // group by junction string, insertion-ordered; dead groups
-                // are skipped so a re-added key lands at the end (matching
-                // Python dict delete-then-setdefault)
-                bool found = false;
-                for (LSGroup& g : groups) {
-                    if (!g.els.empty() && g.len == len
-                        && memcmp(g.junc, junc, (size_t)len) == 0) {
-                        g.els.push_back(LSElement{0, 0});
-                        found = true;
-                        break;
-                    }
-                }
-                if (!found) {
-                    groups.push_back(LSGroup{junc, len, {LSElement{0, 0}}});
-                }
-            }
-        };
-        // oldest-agreement junction choice + consume; -1 when ambiguous or
-        // store empty (linkstore.py::next_junction_choice/_consume)
-        auto next_junction_choice = [&]() -> int {
-            int32_t max_age = -1;
-            for (const LSGroup& g : groups)
-                for (const LSElement& e : g.els)
-                    if (e.age > max_age) max_age = e.age;
-            if (max_age < 0) return -1;
-            int agree_char = -2;
-            const LSGroup* first_oldest_group = nullptr;
-            for (const LSGroup& g : groups) {
-                for (const LSElement& e : g.els) {
-                    if (e.age != max_age || e.pos >= g.len) continue;
-                    if (!first_oldest_group) first_oldest_group = &g;
-                    const int c = g.junc[e.pos];
-                    if (agree_char == -2) agree_char = c;
-                    else if (agree_char != c) return -1;
-                }
-            }
-            if (!first_oldest_group || agree_char < 0) return -1;
-            // the emitted char comes from the LAST element of the chosen
-            // junction list (LinkStore.java:128-131); at most one live group
-            // per junction string, and the first oldest element lives in it
-            const LSGroup& cg = *first_oldest_group;
-            const int choice = cg.junc[cg.els.back().pos];
-            // consume
-            for (LSGroup& g : groups) {
-                std::vector<LSElement> keep;
-                for (LSElement& e : g.els) {
-                    if (e.pos + 1 >= g.len || g.junc[e.pos] != (uint8_t)choice)
-                        continue;
-                    e.pos++;
-                    keep.push_back(e);
-                }
-                g.els.swap(keep);
-            }
-            return choice;
-        };
-
-        std::unordered_set<Key128, Key128Hash> seen;
-        // seek(seed): single next by degree
-        const bool sflip = one_word ? (rlo < flo)
-                         : (rhi != fhi ? rhi < fhi : rlo < flo);
-        int64_t sidx = lookup(sflip ? rhi : fhi, sflip ? rlo : flo);
-        int next_base = -1;
-        if (sidx >= 0) {
-            const uint8_t e = t->edges[sidx];
-            const uint8_t nm = sflip ? (uint8_t)(e >> 4) : (uint8_t)(e & 0xF);
-            if (nm && !(nm & (nm - 1))) {
-                next_base = 0;
-                while (!((nm >> next_base) & 1)) next_base++;
-            }
-        }
-        bool initialized = false;
-        int32_t steps = 0, junctions = 0;
-
-        while (next_base >= 0 && steps < max_steps) {
-            if (!initialized) { add_links(fhi, flo, rhi, rlo); initialized = true; }
-            // candidate next kmer (walk orientation) + rc
-            uint64_t nfhi = ((fhi << 2) | (flo >> 62)) & hi_mask;
-            uint64_t nflo = (flo << 2) | (uint64_t)next_base;
-            if (one_word) { nflo &= lo_mask; nfhi = 0; }
-            uint64_t nrlo = (rlo >> 2) | (rhi << 62);
-            uint64_t nrhi = rhi >> 2;
-            const uint64_t cb = 3 - (uint64_t)next_base;
-            if (shift_top >= 64) nrhi |= cb << (shift_top - 64);
-            else nrlo |= cb << shift_top;
-            if (one_word) { nrlo &= lo_mask; nrhi = 0; }
-            else { nrhi &= hi_mask; }
-
-            add_links(nfhi, nflo, nrhi, nrlo);     // _update_link_store
-            bases[steps] = (int8_t)next_base;
-            steps++;
-            fhi = nfhi; flo = nflo; rhi = nrhi; rlo = nrlo;
-
-            // successor of the new cursor
-            const bool flipped = one_word ? (rlo < flo)
-                               : (rhi != fhi ? rhi < fhi : rlo < flo);
-            const int64_t idx = lookup(flipped ? rhi : fhi,
-                                       flipped ? rlo : flo);
-            next_base = -1;
-            const uint8_t e = idx >= 0 ? t->edges[idx] : 0;
-            const uint8_t nm = flipped ? (uint8_t)(e >> 4)
-                                       : (uint8_t)(e & 0xF);
-            const int deg = __builtin_popcount(nm);
-            if (deg == 1) {
-                int nb = 0;
-                while (!((nm >> nb) & 1)) nb++;
-                uint64_t phi = ((fhi << 2) | (flo >> 62)) & hi_mask;
-                uint64_t plo = (flo << 2) | (uint64_t)nb;
-                if (one_word) { plo &= lo_mask; phi = 0; }
-                Key128 key{phi, plo};
-                if (!seen.count(key) || store_active()) {
-                    next_base = nb;
-                    seen.insert(key);
-                }
-            } else if (deg > 1) {
-                const int choice = next_junction_choice();
-                if (choice >= 0 && ((nm >> choice) & 1)) {
-                    next_base = choice;
-                    junctions++;
-                }
-                increment_ages();
-            }
-            if (num_new_paths() > 0) increment_ages();
-        }
-        out_steps[wi] = steps;
-        out_junctions[wi] = junctions;
+        rh = xhi & hi_mask;
+        rl = xlo;
+        if (one_word) { rl &= lo_mask; rh = 0; }
     }
+
+    uint8_t next_mask(uint64_t fh, uint64_t fl) const {
+        uint64_t rh, rl;
+        rc_of(fh, fl, rh, rl);
+        const bool flipped = one_word ? (rl < fl)
+                           : (rh != fh ? rh < fh : rl < fl);
+        const int64_t idx = lookup(flipped ? rh : fh, flipped ? rl : fl);
+        const uint8_t e = idx >= 0 ? t->edges[idx] : 0;
+        return flipped ? (uint8_t)(e >> 4) : (uint8_t)(e & 0xF);
+    }
+
+    void shift(uint64_t fh, uint64_t fl, int base,
+               uint64_t& nh, uint64_t& nl) const {
+        nh = ((fh << 2) | (fl >> 62)) & hi_mask;
+        nl = (fl << 2) | (uint64_t)base;
+        if (one_word) { nl &= lo_mask; nh = 0; }
+    }
+};
+
+struct VKey {
+    uint64_t hi, lo;
+    int32_t copy;
+    bool operator==(const VKey& o) const {
+        return hi == o.hi && lo == o.lo && copy == o.copy;
+    }
+};
+struct VKeyHash {
+    size_t operator()(const VKey& v) const {
+        return (size_t)mix64(v.hi ^ mix64(v.lo ^ (uint64_t)(uint32_t)v.copy));
+    }
+};
+
+struct BranchGraph {
+    std::unordered_set<VKey, VKeyHash> verts;
+    std::vector<std::pair<VKey, VKey>> edges;   // may repeat; Python dedups
+    void connect(const VKey& u, const VKey& v) {
+        verts.insert(u);
+        verts.insert(v);
+        edges.emplace_back(u, v);
+    }
+};
+
+// One DFS branch (engine._dfs_branch, FORWARD).  `visited` is copied per
+// branch like the Python set(visited_old); sibling mutations do not leak.
+bool dfs_dest_branch(const LinksWalkTable* t, const KOps& ops, VKey cv,
+                     int64_t graph_size, int32_t jd,
+                     const std::unordered_set<VKey, VKeyHash>& visited_old,
+                     uint64_t sink_hi, uint64_t sink_lo, int64_t max_branch,
+                     bool use_links, BranchGraph& g) {
+    std::unordered_set<VKey, VKeyHash> visited(visited_old);
+    LinkCursor cur(t);
+    if (use_links) cur.seek(cv.hi, cv.lo);
+    bool sticky_succ = false;
+    while (true) {
+        VKey avs[4];
+        int n_avs = 0;
+        if (use_links && cur.has_next()) {
+            cur.advance();
+            int32_t copy = 0;
+            while (visited.count(VKey{cur.fhi, cur.flo, copy})) copy++;
+            avs[n_avs++] = VKey{cur.fhi, cur.flo, copy};
+        } else {
+            // raw next neighbors of cv (copy 0) minus visited; base order
+            // 0..3 == the dfs sorted-by-kmer child order (shared stem)
+            const uint8_t nm = ops.next_mask(cv.hi, cv.lo);
+            for (int bb = 0; bb < 4; bb++) {
+                if (!((nm >> bb) & 1)) continue;
+                VKey nk;
+                nk.copy = 0;
+                ops.shift(cv.hi, cv.lo, bb, nk.hi, nk.lo);
+                if (!visited.count(nk)) avs[n_avs++] = nk;
+            }
+        }
+        const bool prev_visited = visited.count(cv) != 0;
+        visited.insert(cv);
+        bool going = false;
+        if (!prev_visited) {
+            const bool succ = (cv.hi == sink_hi && cv.lo == sink_lo);
+            const int64_t gs = graph_size + (int64_t)g.verts.size();
+            const int64_t jlimit =
+                1 + (int64_t)ceil(5.0 * exp(-0.0001 * (double)gs));
+            const bool failed = (int64_t)jd > jlimit
+                || (int64_t)g.verts.size() > max_branch;
+            sticky_succ = succ;
+            going = !succ && !failed;
+        }
+        if (going) {
+            if (n_avs == 1) {
+                g.connect(cv, avs[0]);
+                cv = avs[0];
+                continue;
+            }
+            bool child_ok = false;
+            for (int i = 0; i < n_avs; i++) {
+                BranchGraph child;
+                if (dfs_dest_branch(t, ops, avs[i],
+                                    graph_size + (int64_t)g.verts.size(),
+                                    jd + 1, visited, sink_hi, sink_lo,
+                                    max_branch, use_links, child)) {
+                    child.connect(cv, avs[i]);
+                    for (const VKey& v : child.verts) g.verts.insert(v);
+                    for (auto& e : child.edges) g.edges.push_back(e);
+                    child_ok = true;
+                }
+            }
+            return child_ok || (cv.hi == sink_hi && cv.lo == sink_lo);
+        }
+        return sticky_succ;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched DestinationStopper DFS probes.  sources/sinks: walk-orientation
+// packed kmers (b probes); REVERSE probes are passed pre-revcomped by the
+// wrapper.  out_success: uint8[b] (caller-allocated).  Edge outputs are
+// malloc'd (caller frees each via ct_free): eoff int64[b+1] CSR over edges,
+// u*/v* uint64[E] + int32[E].  Returns E or -1 on allocation failure.
+int64_t ct_dfs_dest(void* handle, const uint64_t* shi, const uint64_t* slo,
+                    const uint64_t* sink_hi, const uint64_t* sink_lo,
+                    int64_t b, int64_t max_branch, int32_t use_links,
+                    uint8_t* out_success, int64_t** eoff_out,
+                    uint64_t** uhi_out, uint64_t** ulo_out,
+                    int32_t** ucopy_out, uint64_t** vhi_out,
+                    uint64_t** vlo_out, int32_t** vcopy_out) {
+    const LinksWalkTable* t = (const LinksWalkTable*)handle;
+    KOps ops(t);
+    std::vector<int64_t> eoff(b + 1, 0);
+    std::vector<uint64_t> uhi, ulo, vhi, vlo;
+    std::vector<int32_t> ucopy, vcopy;
+    for (int64_t i = 0; i < b; i++) {
+        BranchGraph g;
+        std::unordered_set<VKey, VKeyHash> visited;
+        VKey src{shi[i], slo[i], 0};
+        const bool ok = dfs_dest_branch(t, ops, src, 0, 0, visited,
+                                        sink_hi[i], sink_lo[i], max_branch,
+                                        use_links != 0, g);
+        out_success[i] = ok ? 1 : 0;
+        if (ok) {
+            for (auto& e : g.edges) {
+                uhi.push_back(e.first.hi);
+                ulo.push_back(e.first.lo);
+                ucopy.push_back(e.first.copy);
+                vhi.push_back(e.second.hi);
+                vlo.push_back(e.second.lo);
+                vcopy.push_back(e.second.copy);
+            }
+        }
+        eoff[i + 1] = (int64_t)uhi.size();
+    }
+    const int64_t E = (int64_t)uhi.size();
+    auto dup = [](const void* src_p, size_t nbytes) -> void* {
+        void* p = malloc(nbytes ? nbytes : 1);
+        if (p && nbytes) memcpy(p, src_p, nbytes);
+        return p;
+    };
+    *eoff_out = (int64_t*)dup(eoff.data(), (size_t)(b + 1) * 8);
+    *uhi_out = (uint64_t*)dup(uhi.data(), (size_t)E * 8);
+    *ulo_out = (uint64_t*)dup(ulo.data(), (size_t)E * 8);
+    *ucopy_out = (int32_t*)dup(ucopy.data(), (size_t)E * 4);
+    *vhi_out = (uint64_t*)dup(vhi.data(), (size_t)E * 8);
+    *vlo_out = (uint64_t*)dup(vlo.data(), (size_t)E * 8);
+    *vcopy_out = (int32_t*)dup(vcopy.data(), (size_t)E * 4);
+    if (!*eoff_out || !*uhi_out || !*ulo_out || !*ucopy_out
+        || !*vhi_out || !*vlo_out || !*vcopy_out)
+        return -1;
+    return E;
 }
 
 }  // extern "C"
