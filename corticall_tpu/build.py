@@ -435,6 +435,14 @@ def thread_reads(g: gr.CortexGraph, sequences, sample_name: str,
     rolling canonical kmers + open-addressing probes); the numpy fallback
     batches all per-kmer work over chunk_bases-sized blocks with per-read
     Python touching only the sparse junction / in-branch events.
+
+    ThreadRef (Simulate.wdl:714-760) is this same scan with a parent
+    *reference* FASTA as `sequences`: the links are threaded along (and named
+    for) the sample color like mccortex thread, and the reference's identity
+    travels in the link set's `source` (IndexLinks -s <ref_name>), so walks
+    can "transition between annotation sets" across junctions the reads are
+    too short to span while the engine's sample-name filter
+    (TraversalEngine.java:558) still admits the file.
     """
     color = g.color_for_sample(sample_name)
     k = g.kmer_size

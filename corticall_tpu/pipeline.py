@@ -109,7 +109,8 @@ def run_pipeline(workdir: str, reads_by_sample: dict, child: str,
                  lowcov_min: int | str = "auto", max_walk: int = 2000,
                  trim_margin: int = 500, resume: bool = True,
                  caller_opts: dict | None = None, log=None,
-                 clean: bool = True, prefilters=None) -> dict:
+                 clean: bool = True, prefilters=None,
+                 thread_refs: bool = True) -> dict:
     """Execute the full production pipeline from reads to VCF.
 
     reads_by_sample: {sample: list_of_read_strings} (child first or any
@@ -157,6 +158,24 @@ def run_pipeline(workdir: str, reads_by_sample: dict, child: str,
         links.append(pl.stage(
             f"thread_{s}", [f"{s}.ctp.bgz"], compute,
             lambda p: lkio.open_links(p)))
+
+    # ---- thread references -> indexed links (ThreadRef :714-760) -----------
+    # The WDL threads each parent reference FASTA through the child's graph
+    # and hands the resulting link sets to Partition and Call alongside the
+    # read links — reference-assisted walks (README capability #4).
+    if thread_refs and references:
+        for name, ref in references.items():
+            def compute(path_bgz, name=name, ref=ref):
+                # threaded along the child color (mccortex threads into the
+                # child's ctx); the reference identity is the link *source*
+                ld = lkio.merge_prefix_links(bd.thread_reads(
+                    joined, list(ref.seqs.values()), child))
+                ld.source = name
+                lkio.write_links_indexed(path_bgz, ld, source=name)
+                return ld, {"kmers_with_links": len(ld)}
+            links.append(pl.stage(
+                f"thread_ref_{name}", [f"ref_{name}.ctp.bgz"], compute,
+                lambda p: lkio.open_links(p)))
 
     # ---- FindROIs (:804) ----------------------------------------------------
     def compute_rois(path):

@@ -56,6 +56,8 @@ def test_pipeline_end_to_end(tmp_path, trio):
     # links were threaded and indexed for every sample
     assert all(st[f"thread_{s}"]["kmers_with_links"] > 0
                for s in ("kid", "mom", "dad"))
+    # references were threaded as link sets (ThreadRef, Simulate.wdl:714-760)
+    assert all(f"thread_ref_{r}" in st for r in ("mom", "dad"))
     # ROIs found, prefilters ran, partition produced contigs
     assert st["find_rois"]["rois"] > 0
     assert "prefilter" in st
@@ -71,7 +73,8 @@ def test_pipeline_end_to_end(tmp_path, trio):
 
     # on-disk artifacts exist (the WDL materializes every intermediate)
     wd = tmp_path / "wd"
-    for name in ("kid.clean.ctx", "joined.ctx", "kid.ctp.bgz", "rois.ctx",
+    for name in ("kid.clean.ctx", "joined.ctx", "kid.ctp.bgz",
+                 "ref_mom.ctp.bgz", "rois.ctx",
                  "partitions.fa", "partitions.trimmed.fa", "calls.vcf",
                  "accounting.txt", "state.json"):
         assert (wd / name).exists(), name

@@ -67,6 +67,29 @@ def test_cycles_with_links_are_assembled():
     assert contig == "ACTGATTTCGATGCGATGCGATGCCACGGTGG"
 
 
+def test_reference_threading_resolves_junction():
+    # ThreadRef parity (Simulate.wdl:714-760): thread a *reference* sequence
+    # through the sample's graph color and walk with the resulting link set.
+    # The Fig-1 cycle cannot be crossed without the annotation; with the
+    # reference threaded, the walk transitions through all three repeat
+    # copies — a reference-assisted walk (README capability #4).  The link
+    # set carries the sample name of the color it was threaded along (the
+    # engine's filter, TraversalEngine.java:558) and the reference's name as
+    # its source (IndexLinks -s).
+    from corticall_tpu import build as bd
+    hap = "ACTGATTTCGATGCGATGCGATGCCACGGTGG"
+    g = fixtures.build_graph({"kid": [hap]}, 5)
+    kid = g.color_for_sample("kid")
+
+    e = make_engine(g, [kid])
+    assert to_contig(e.walk("ACTGA")) == "ACTGATTTCGATGC"  # stops at cycle
+
+    ref_links = bd.thread_reads(g, [hap], "kid")
+    ref_links.source = "ref1"
+    e = make_engine(g, [kid], links=[ref_links])
+    assert to_contig(e.walk("ACTGA")) == hap
+
+
 def test_iterate_fwd_without_path_information():
     hap = "AGTTCGAATCTGGGCTATATGCT"
     g = fixtures.build_graph({"mom": [hap]}, 7)
