@@ -17,6 +17,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -122,30 +123,32 @@ def main():
     n_base_seeds = int(os.environ.get("BENCH_BASELINE_SEEDS", "64"))
     host_sps = host_baseline_steps_per_sec(g, seed_strs[:n_base_seeds], max_steps=t)
 
-    # Mosaic-compiled banded Smith-Waterman (ops/sw_device.py::sw_pallas),
-    # the bwa-mem-replacement extension kernel: GCUPS on a production-shaped
-    # batch (full local SW, lanes = subject positions)
+    # Mosaic-compiled banded Smith-Waterman (ops/sw_device.py::
+    # sw_banded_pallas), the bwa-mem-replacement extension kernel: GCUPS on a
+    # production-shaped batch (band 128, the label_targets/flank-realignment
+    # configuration).  Cells = B x Q x band — only band cells are computed.
     sw_gcups = sw_kernel = None
     try:
         from corticall_tpu.ops import sw_device as swd
-        bq, qn, sn = (int(os.environ.get("BENCH_SW_PAIRS", "64")),
-                      int(os.environ.get("BENCH_SW_QLEN", "1024")),
-                      int(os.environ.get("BENCH_SW_SLEN", "1024")))
+        bq, qn, band = (int(os.environ.get("BENCH_SW_PAIRS", "8192")),
+                        int(os.environ.get("BENCH_SW_QLEN", "1024")),
+                        int(os.environ.get("BENCH_SW_BAND", "128")))
         rng2 = np.random.default_rng(13)
-        qs = rng2.integers(0, 4, (bq, qn)).astype(np.int32)
-        ss = rng2.integers(0, 4, (bq, sn)).astype(np.int32)
+        qs = jnp.asarray(rng2.integers(0, 4, (bq, qn)).astype(np.int32))
+        ss = jnp.asarray(rng2.integers(0, 4, (bq, qn)).astype(np.int32))
         on_tpu = any(d.platform != "cpu" for d in jax.devices())
-        fn = swd.sw_pallas if on_tpu else swd.banded_sw_scores
-        sw_kernel = "pallas_mosaic" if on_tpu else "lax_scan"
-        out = fn(jnp.asarray(qs), jnp.asarray(ss))
+        fn = (partial(swd.sw_banded_pallas, band=band) if on_tpu
+              else partial(swd.banded_sw_scores, band=band))
+        sw_kernel = "pallas_banded" if on_tpu else "lax_scan"
+        out = fn(qs, ss)
         int(np.asarray(out[0]).sum())           # compile + sync
         iters = 3
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(jnp.asarray(qs), jnp.asarray(ss))
+            out = fn(qs, ss)
             int(np.asarray(out[0]).sum())
         dt = (time.perf_counter() - t0) / iters
-        sw_gcups = round(bq * qn * sn / dt / 1e9, 2)
+        sw_gcups = round(bq * qn * band / dt / 1e9, 2)
     except Exception:
         sw_gcups = None
 

@@ -226,6 +226,16 @@ def _cummax_sublane(x):
 def sw_pallas(q_codes, s_codes, band: int | None = None, tile: int = 128,
               interpret: bool | None = None):
     """Mosaic-compiled local SW: full-matrix (optionally band-masked).
+    Jit-cached like sw_banded_pallas (re-tracing per call costs ~520 ms)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _sw_pallas_jit(q_codes, s_codes, band, tile, interpret)
+
+
+@partial(jax.jit, static_argnames=("band", "tile", "interpret"))
+def _sw_pallas_jit(q_codes, s_codes, band: int | None, tile: int,
+                   interpret: bool):
+    """Body of sw_pallas.
 
     q_codes int32[B, QMAX], s_codes int32[B, SMAX] (4 = pad/N).  With band=N
     the scored cells match banded_sw_scores(band=N) exactly; band=None scores
@@ -243,8 +253,6 @@ def sw_pallas(q_codes, s_codes, band: int | None = None, tile: int = 128,
     """
     from jax.experimental import pallas as pl
 
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
     if tile % 128:
         raise ValueError("tile must be a multiple of 128 (batch rides lanes)")
 
@@ -334,6 +342,162 @@ def sw_pallas(q_codes, s_codes, band: int | None = None, tile: int = 128,
             jax.ShapeDtypeStruct((1, n), jnp.int32),
             jax.ShapeDtypeStruct((1, n), jnp.int32),
         ),
+        interpret=interpret,
+    )(qt, st)
+    return score[0, :bsz], qe[0, :bsz], se[0, :bsz]
+
+
+def sw_banded_pallas(q_codes, s_codes, band: int = 128, tile: int = 128,
+                     interpret: bool | None = None):
+    """Mosaic-compiled banded local SW — the production TPU kernel.
+
+    Jit-cached: re-invoking at the same shapes costs one dispatch, not a
+    re-trace.  Re-tracing pallas_call per call was the entire difference
+    between 0.08 and >20 GCUPS on this kernel — the un-jitted wrapper spent
+    ~520 ms of host time rebuilding Mosaic IR per invocation while the device
+    sat idle.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _sw_banded_pallas_jit(q_codes, s_codes, band, tile, interpret)
+
+
+@partial(jax.jit, static_argnames=("band", "tile", "interpret"))
+def _sw_banded_pallas_jit(q_codes, s_codes, band: int, tile: int,
+                          interpret: bool):
+    """Body of sw_banded_pallas (see its docstring).
+
+    Cell-for-cell identical to banded_sw_scores(band=band) but laid out for
+    the hardware instead of for XLA's scan:
+
+    - batch rides LANES (tile = 128 alignments per grid step), band positions
+      ride SUBLANES (band/8 vregs of f32 state instead of the full-matrix
+      kernel's 128 vregs) — every shift the recurrence needs (diagonal feed,
+      vertical-gap feed, horizontal-gap prefix scan) is a static sublane
+      shift, which Mosaic lowers natively; nothing ever indexes lanes
+      dynamically (the constraint that sank the round-1 kernel).
+    - the sliding subject window lives in VMEM scratch in band coordinates
+      and advances one sublane per query row: roll up + insert the one new
+      char, fetched from the transposed padded subject (dynamic *sublane*
+      indexing — supported).
+    - best-cell tracking is deferred: the row loop keeps only per-cell
+      running (best value, first row achieving it); the argmax reduction over
+      the band happens once after the loop, not every row.  Tie-breaking
+      reproduces the scan twin exactly (earliest row, then lowest band cell).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if band % 8:
+        raise ValueError("band must be a multiple of 8 (band rides sublanes)")
+    if tile % 128:
+        raise ValueError("tile must be a multiple of 128 (batch rides lanes)")
+
+    bsz, qmax = q_codes.shape
+    smax = int(s_codes.shape[1])
+    w = band
+    half = band // 2
+    pad_b = (-bsz) % tile
+    if pad_b:
+        q_codes = jnp.concatenate(
+            [q_codes, jnp.full((pad_b, qmax), 4, q_codes.dtype)])
+        s_codes = jnp.concatenate(
+            [s_codes, jnp.full((pad_b, smax), 4, s_codes.dtype)])
+    n = q_codes.shape[0]
+    qt = jnp.asarray(q_codes).T.astype(jnp.int32)       # [QMAX, n]
+    # transposed band-padded subject: row x holds s[x - half] (pad 4)
+    st = jnp.full((qmax + band, n), 4, jnp.int32)
+    st = jax.lax.dynamic_update_slice(
+        st, jnp.asarray(s_codes).T.astype(jnp.int32)[:min(smax, qmax + half)],
+        (half, 0))
+
+    def kernel(qt_ref, s_ref, score_ref, qe_ref, se_ref,
+               h_ref, f_ref, sb_ref, bh_ref, br_ref):
+        cc = jax.lax.broadcasted_iota(jnp.int32, (w, tile), 0)
+        ccf = cc.astype(jnp.float32)
+        # row 0 state: jj = -half + c
+        jj0 = cc - half
+        h_ref[:] = jnp.where(jj0 >= 0, 0.0, NEG)
+        f_ref[:] = jnp.full((w, tile), NEG)
+        sb_ref[:] = s_ref[0:w, :]
+        bh_ref[:] = jnp.zeros((w, tile))
+        br_ref[:] = jnp.zeros((w, tile), jnp.int32)
+
+        def row(i, _):
+            h_prev, f_prev, s_win = h_ref[:], f_ref[:], sb_ref[:]
+            jj = (i - half) + cc
+            valid = (jj >= 0) & (jj < smax)
+            fill = jnp.where(jj == -1, 0.0, NEG)
+            qc = qt_ref[i, :][None, :]                   # [1, tile] bcast
+            sub = jnp.where((qc == s_win) & (qc < 4), MATCH, MISMATCH)
+
+            neg_row = jnp.full((1, tile), NEG)
+            # band coords shift with the row: H/F(i-1, j) sit one sublane up
+            up_h = jnp.concatenate([h_prev[1:, :], neg_row], axis=0)
+            up_f = jnp.concatenate([f_prev[1:, :], neg_row], axis=0)
+            f = jnp.maximum(up_f - GAP_EXTEND, up_h - GAP_OPEN - GAP_EXTEND)
+            h = jnp.maximum(jnp.maximum(h_prev + sub, f), 0.0)
+            h = jnp.where(valid, h, fill)
+
+            # E[c] = max_{t<c}(h[t] + ext*t) - ext*c - open (sublane cummax)
+            adj = jnp.where(valid, h, NEG) + GAP_EXTEND * ccf
+            run = _cummax_sublane(adj)
+            e = (jnp.concatenate([neg_row, run[:-1, :]], axis=0)
+                 - GAP_EXTEND * ccf - GAP_OPEN)
+            h = jnp.where(valid, jnp.maximum(jnp.maximum(h, e), 0.0), fill)
+
+            h_ref[:] = h
+            f_ref[:] = f
+            # deferred best: strict > keeps the EARLIEST row per cell
+            improved = h > bh_ref[:]
+            bh_ref[:] = jnp.where(improved, h, bh_ref[:])
+            br_ref[:] = jnp.where(improved, i, br_ref[:])
+            # slide the subject band: next row's cell c reads s_pad[i+1+c]
+            sb_ref[:] = jnp.concatenate(
+                [s_win[1:, :], s_ref[pl.ds(i + w, 1), :]], axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, qmax, row, 0)
+
+        # final argmax over the band, twin tie-breaking: max value, then
+        # earliest row, then lowest band cell
+        bh, br = bh_ref[:], br_ref[:]
+        big = jnp.int32(1 << 30)
+        best = jnp.max(bh, axis=0, keepdims=True)        # [1, tile]
+        at_best = bh == best
+        row_star = jnp.min(jnp.where(at_best, br, big), axis=0, keepdims=True)
+        c_star = jnp.min(
+            jnp.where(at_best & (br == row_star), cc, big),
+            axis=0, keepdims=True)
+        found = best > 0.0
+        score_ref[:] = jnp.where(found, best, 0.0)
+        qe_ref[:] = jnp.where(found, row_star + 1, 0)
+        se_ref[:] = jnp.where(found, row_star - half + c_star + 1, 0)
+
+    score, qe, se = pl.pallas_call(
+        kernel,
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((qmax, tile), lambda i: (0, i)),
+            pl.BlockSpec((qmax + band, tile), lambda i: (0, i)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile), lambda i: (0, i)),
+            pl.BlockSpec((1, tile), lambda i: (0, i)),
+            pl.BlockSpec((1, tile), lambda i: (0, i)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((w, tile), jnp.float32),   # h
+            pltpu.VMEM((w, tile), jnp.float32),   # f
+            pltpu.VMEM((w, tile), jnp.int32),     # subject band window
+            pltpu.VMEM((w, tile), jnp.float32),   # per-cell best value
+            pltpu.VMEM((w, tile), jnp.int32),     # per-cell first best row
+        ],
         interpret=interpret,
     )(qt, st)
     return score[0, :bsz], qe[0, :bsz], se[0, :bsz]

@@ -101,6 +101,23 @@ def test_sw_pallas_full_matches_gotoh():
                                rtol=0, atol=1e-4)
 
 
+def test_sw_banded_pallas_matches_scan():
+    # the production banded kernel (band on sublanes, batch on lanes,
+    # deferred argmax): scores AND end positions must match the scan twin,
+    # including its tie-breaking (earliest row, then lowest band cell)
+    rng = np.random.default_rng(107)
+    qn = rng.integers(0, 4, (64, 96)).astype(np.int32)
+    sn = rng.integers(0, 4, (64, 120)).astype(np.int32)
+    for i in range(0, 64, 2):
+        sn[i, :96] = qn[i]
+    for band in (64, 128):
+        s1, q1, e1 = swd.banded_sw_scores(qn, sn, band=band)
+        s2, q2, e2 = swd.sw_banded_pallas(qn, sn, band=band)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(q2), np.asarray(q1))
+        np.testing.assert_array_equal(np.asarray(e2), np.asarray(e1))
+
+
 def test_sw_pallas_banded_matches_scan():
     # random junk pairs stress band edges (best paths drift off-diagonal)
     rng = np.random.default_rng(106)
