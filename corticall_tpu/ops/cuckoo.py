@@ -49,6 +49,7 @@ class CuckooTable:
     nb_bits: int
     words: int
     bucket_size: int = BUCKET_SIZE
+    entry_words: int = 0           # W+1 (+P extra words for run tables)
     primary_fraction: float = 0.0  # keys resident in their h1 bucket
 
     @property
@@ -56,19 +57,10 @@ class CuckooTable:
         return self.buckets.shape[0]
 
 
-def build_cuckoo(kmers: np.ndarray, payload: np.ndarray,
-                 load_factor: float = 0.5,
-                 num_buckets: int | None = None,
-                 bucket_size: int = BUCKET_SIZE,
-                 primary_bias: bool = False) -> CuckooTable:
-    """kmers: uint32[N, W] unique canonical kmers; payload: uint[N] (< 2^31),
-    e.g. the combined edge byte for walk tables.  num_buckets (power of two)
-    fixes the table size — used to build per-shard tables at a common size.
-
-    primary_bias places each key in its h1 bucket whenever it has room (rather
-    than the emptier of the two), so that a speculative first-probe lookup
-    (walk_forward_spec) hits h1 for the vast majority of keys; the achieved
-    fraction is reported in `primary_fraction`."""
+def _place(kmers: np.ndarray, load_factor: float,
+           num_buckets: int | None, bucket_size: int,
+           primary_bias: bool):
+    """Cuckoo placement: -> (nb, bucket_of int64[N], pos_of int32[N], h1)."""
     n, w = kmers.shape
     if num_buckets is not None:
         nb = num_buckets
@@ -146,14 +138,42 @@ def build_cuckoo(kmers: np.ndarray, payload: np.ndarray,
             else:
                 raise RuntimeError("cuckoo build failed; lower load_factor")
 
-    buckets = np.zeros((nb, bucket_size * (w + 1)), dtype=np.uint32)
-    col = pos_of * (w + 1)
+    return nb, bucket_of, pos_of, h1
+
+
+def build_cuckoo(kmers: np.ndarray, payload: np.ndarray,
+                 load_factor: float = 0.5,
+                 num_buckets: int | None = None,
+                 bucket_size: int = BUCKET_SIZE,
+                 primary_bias: bool = False,
+                 extra: np.ndarray | None = None) -> CuckooTable:
+    """kmers: uint32[N, W] unique canonical kmers; payload: uint[N] (< 2^31),
+    e.g. the combined edge byte for walk tables.  num_buckets (power of two)
+    fixes the table size — used to build per-shard tables at a common size.
+
+    primary_bias places each key in its h1 bucket whenever it has room (rather
+    than the emptier of the two), so that a speculative first-probe lookup
+    (walk_forward_spec) hits h1 for the vast majority of keys; the achieved
+    fraction is reported in `primary_fraction`.
+
+    extra: uint32[N, P] additional per-entry words stored after the tag
+    (entry stride becomes W+1+P) — used by the run table."""
+    n, w = kmers.shape
+    p = 0 if extra is None else extra.shape[1]
+    nb, bucket_of, pos_of, h1 = _place(
+        kmers, load_factor, num_buckets, bucket_size, primary_bias)
+    ew = w + 1 + p
+    buckets = np.zeros((nb, bucket_size * ew), dtype=np.uint32)
+    col = pos_of * ew
     rows = bucket_of
     for wi in range(w):
         buckets[rows, col + wi] = kmers[:, wi]
     buckets[rows, col + w] = np.uint32(0x80000000) | payload.astype(np.uint32)
+    for pi in range(p):
+        buckets[rows, col + w + 1 + pi] = extra[:, pi]
     return CuckooTable(buckets=buckets, nb_bits=int(nb).bit_length() - 1,
                        words=w, bucket_size=bucket_size,
+                       entry_words=ew,
                        primary_fraction=float((bucket_of == h1).mean()) if n else 1.0)
 
 
@@ -317,6 +337,188 @@ def _spec_chunk(buckets, state, k: int, num_steps: int, chunk_len: int):
     step = _spec_step_fn(buckets, k, num_steps, bs, mask)
     state, bases = jax.lax.scan(step, state, None, length=chunk_len)
     return state, bases, state[2].any()
+
+
+# ---------------------------------------------------------------------------
+# run table: unitig-lookahead walks — many bases per gathered row
+# ---------------------------------------------------------------------------
+# The walk kernels above are gather-row-rate bound: XLA random gathers sustain
+# ~60-160M rows/s on a v5e chip regardless of row width, so one-base-per-row
+# caps traversal near 144M steps/s at <1% of HBM bandwidth.  The run table
+# amortizes each gather over a unitig run: every entry stores, for both
+# orientations, the next up-to-24 bases the walk automaton would emit from
+# that kmer (computed at build time BY the base kernel, so run semantics are
+# exactly walk semantics — runs end where the walk would end: branch,
+# dead-end, missing neighbor, or builder-side Brent cycle detection, which is
+# flagged).  The jump kernel gathers one row, emits the whole run, and lands
+# the cursor run-length kmers ahead via shift_append_multi.  Exactness is
+# preserved through the replay contract (ops/walk_np.replay_run_walk): the
+# recorded bases always cover at least one full lap of any cycle, and the
+# host replay applies the reference's seen-set rule to the recorded path.
+
+RUN_MAX = 24
+_RUN_WORDS = 4   # fwd0, fwd1, rev0, rev1
+
+
+def _pack_runs(bases: np.ndarray, cycled: np.ndarray,
+               steps: np.ndarray) -> np.ndarray:
+    """Builder-walk recordings -> packed run words uint32[B, 2].
+
+    word0: bits 23..0 = bases b0..b11 big-endian (b0 at bits 23..22),
+           bits 29..24 = run length, bit 31 = builder-detected cycle.
+    word1: bits 23..0 = bases b12..b23."""
+    t, b = np.nonzero(bases >= 0)
+    valid = bases >= 0
+    pos = (np.cumsum(valid, axis=0) - 1)[t, b]
+    code = bases[t, b].astype(np.uint32)
+    n = bases.shape[1]
+    w0 = np.zeros(n, np.uint32)
+    w1 = np.zeros(n, np.uint32)
+    lo = pos < 12
+    np.bitwise_or.at(w0, b[lo], code[lo] << (22 - 2 * pos[lo]))
+    np.bitwise_or.at(w1, b[~lo], code[~lo] << (46 - 2 * pos[~lo]))
+    w0 |= steps.astype(np.uint32) << 24
+    w0 |= cycled.astype(np.uint32) << 31
+    return np.stack([w0, w1], axis=1)
+
+
+def build_run_table(kmers: np.ndarray, edges: np.ndarray, k: int,
+                    load_factor: float = 0.5,
+                    chunk: int = 262144) -> CuckooTable:
+    """Walk table with per-entry unitig runs (entry = W+1+4 words, bucket
+    size 2).  Runs are recorded by the base speculative kernel itself
+    (walk_forward_spec_chunked with num_steps=RUN_MAX) from every kmer in
+    both orientations, so they inherit its exact step semantics."""
+    plain = build_walk_table(kmers, edges, load_factor=load_factor)
+    buckets = jnp.asarray(plain.buckets)
+    n = kmers.shape[0]
+
+    def record(seed_words: np.ndarray) -> np.ndarray:
+        out = np.zeros((seed_words.shape[0], 2), np.uint32)
+        for lo in range(0, seed_words.shape[0], chunk):
+            sl = jnp.asarray(seed_words[lo:lo + chunk])
+            bases, cycled, steps = walk_forward_spec_chunked(
+                buckets, sl, k, RUN_MAX)
+            out[lo:lo + chunk] = _pack_runs(bases, cycled, steps)
+        return out
+
+    fwd = record(kmers)
+    rev = record(np.asarray(kj.revcomp_words(jnp.asarray(kmers), k)))
+    extra = np.concatenate([fwd, rev], axis=1)      # [N, 4]
+    return build_cuckoo(kmers, edges, load_factor=load_factor,
+                        bucket_size=2, primary_bias=True, extra=extra)
+
+
+def run_iters(num_steps: int) -> int:
+    """Scan length ceiling for walk_forward_runs: worst case every run has
+    length 1 (maximally branchy graph), so the guarantee matches
+    spec_iters.  The chunked driver early-exits as soon as all lanes retire —
+    on linear graphs that is ~num_steps/RUN_MAX iterations, not this bound."""
+    return spec_iters(num_steps)
+
+
+def _run_step_fn(buckets, k: int, num_steps: int, bs: int, mask, ew: int):
+    """One run-jump iteration.  State mirrors _spec_step_fn."""
+    w = ew - 1 - _RUN_WORDS
+
+    def step(state, _):
+        cur, probe, active, emitcnt, cycled, saved, power, lam = state
+        canon, flipped = kj.canonicalize_words(cur, k)
+        h = kj.hash_words(canon)
+        idx = jnp.where(probe, _jnp_h2(h) & mask, h & mask).astype(jnp.int32)
+        rows = buckets[idx].reshape(cur.shape[0], bs, ew)
+        tag = rows[..., w]
+        match = (tag >= jnp.uint32(0x80000000)) & jnp.all(
+            rows[..., :w] == canon[:, None, :], axis=-1)
+        found = jnp.any(match, axis=1)
+
+        def pick(c):
+            return jnp.max(jnp.where(match, rows[..., c], 0), axis=1)
+        r0 = jnp.where(flipped, pick(w + 3), pick(w + 1))
+        r1 = jnp.where(flipped, pick(w + 4), pick(w + 2))
+        run_len = ((r0 >> jnp.uint32(24)) & jnp.uint32(0x3F)).astype(jnp.int32)
+        run_cyc = (r0 >> jnp.uint32(31)) != 0
+
+        m = jnp.minimum(run_len, num_steps - emitcnt)
+        emit = active & found & (m > 0)
+        mm = jnp.where(emit, m, 0)
+        hi24 = r0 & jnp.uint32(0x00FFFFFF)
+        lo24 = r1 & jnp.uint32(0x00FFFFFF)
+        nxt = kj.shift_append_multi(cur, hi24, lo24, mm, k)
+
+        # jump-granularity Brent: a jump landing on the anchor closes a lap.
+        # Unlike the single-step kernel we DO emit the final run — the replay
+        # needs those bases to cover the lap when the jump cycle is short.
+        is_cycle = emit & jnp.all(nxt == saved, axis=-1)
+        full = emit & (m == run_len)
+        ends_cycle = (full & run_cyc) | (active & found & (run_len == 0) & run_cyc)
+        advance = (full & ~run_cyc & ~is_cycle
+                   & (emitcnt + mm < num_steps))
+        stall = active & ~found & ~probe
+
+        e0 = jnp.where(emit, (hi24 | (mm.astype(jnp.uint32) << 24)),
+                       jnp.uint32(0))
+        e1 = jnp.where(emit, lo24, jnp.uint32(0))
+
+        teleport = (power == lam) & advance
+        saved = jnp.where(teleport[:, None], nxt, saved)
+        power = jnp.where(teleport, power * 2, power)
+        lam = jnp.where(teleport, 0, lam)
+        lam = jnp.where(advance, lam + 1, lam)
+
+        cur = jnp.where(advance[:, None], nxt, cur)
+        return (cur, stall, advance | stall, emitcnt + mm,
+                cycled | is_cycle | ends_cycle, saved, power, lam), (e0, e1)
+
+    return step
+
+
+@partial(jax.jit, static_argnames=("k", "num_steps", "entry_words",
+                                   "chunk_len"))
+def _run_chunk(buckets, state, k: int, num_steps: int, entry_words: int,
+               chunk_len: int):
+    bs = buckets.shape[1] // entry_words
+    mask = jnp.uint32(buckets.shape[0] - 1)
+    step = _run_step_fn(buckets, k, num_steps, bs, mask, entry_words)
+    state, out = jax.lax.scan(step, state, None, length=chunk_len)
+    return state, out, state[2].any()
+
+
+@partial(jax.jit, static_argnames=("k", "num_steps", "entry_words"))
+def walk_forward_runs(buckets, seeds, k: int, num_steps: int,
+                      entry_words: int):
+    """Run-table walk: (run_w0 u32[T, B], run_w1 u32[T, B], cycled bool[B],
+    steps int32[B]).  Each iteration emits a whole unitig run (<= RUN_MAX
+    bases, length in bits 29..24 of run_w0); decode with
+    ops/walk_np.decode_runs / replay with replay_run_walk.  steps is capped
+    at num_steps exactly like walk_forward_spec."""
+    bs = buckets.shape[1] // entry_words
+    mask = jnp.uint32(buckets.shape[0] - 1)
+    step = _run_step_fn(buckets, k, num_steps, bs, mask, entry_words)
+    (_, _, _, emitcnt, cycled, *_), (w0, w1) = jax.lax.scan(
+        step, _spec_init(seeds), None, length=run_iters(num_steps))
+    return w0, w1, cycled, emitcnt
+
+
+def walk_forward_runs_chunked(buckets, seeds, k: int, num_steps: int,
+                              entry_words: int, chunk: int = 32):
+    """walk_forward_runs with host-checked early exit between device chunks
+    (the run twin of walk_forward_spec_chunked)."""
+    state = _spec_init(seeds)
+    total = run_iters(num_steps)
+    out0, out1 = [], []
+    done = 0
+    while done < total:
+        length = min(chunk, total - done)
+        state, (w0, w1), any_active = _run_chunk(
+            buckets, state, k, num_steps, entry_words, length)
+        out0.append(np.asarray(w0))
+        out1.append(np.asarray(w1))
+        done += length
+        if not bool(np.asarray(any_active)):
+            break
+    return (np.concatenate(out0, axis=0), np.concatenate(out1, axis=0),
+            np.asarray(state[4]), np.asarray(state[3]))
 
 
 def walk_forward_spec_chunked(buckets, seeds, k: int, num_steps: int,

@@ -95,6 +95,58 @@ def shift_append(words: jnp.ndarray, base: jnp.ndarray, k: int) -> jnp.ndarray:
     return out & mask
 
 
+def _shl32(x: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """x << n with n possibly >= 32 (result 0) — XLA shifts are undefined
+    past the bit width, so clamp the amount and select."""
+    return jnp.where(n >= U32(32), U32(0), x << (n & U32(31)))
+
+
+def _shr32(x: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(n >= U32(32), U32(0), x >> (n & U32(31)))
+
+
+def shift_append_multi(words: jnp.ndarray, hi24: jnp.ndarray,
+                       lo24: jnp.ndarray, m: jnp.ndarray,
+                       k: int) -> jnp.ndarray:
+    """Append m (per-lane, 0..24) bases in one step — equivalent to m
+    repetitions of shift_append.  The bases arrive packed big-endian in two
+    24-bit fields: hi24 holds b0..b11 (b0 in bits 23..22), lo24 holds
+    b12..b23; only the first m are appended.  This is the jump primitive of
+    the run-table walk kernel (ops/cuckoo.walk_forward_runs): one gathered
+    unitig run advances the cursor m k-mers.
+    """
+    w = words.shape[-1]
+    s = (2 * m).astype(U32)[..., None]           # shift in bits, [..., 1]
+    # 48-bit appended field F: b0 at bits 47..46
+    f_hi = (hi24 >> U32(8)).astype(U32)                       # bits 47..32
+    f_lo = (((hi24 & U32(0xFF)) << U32(24)) | lo24).astype(U32)  # bits 31..0
+    r = U32(48) - s[..., 0]
+    a_lo = jnp.where(r < U32(32),
+                     _shr32(f_lo, r) | _shl32(f_hi, U32(32) - r),
+                     _shr32(f_hi, r - U32(32)))
+    a_hi = jnp.where(r < U32(32), _shr32(f_hi, r), U32(0))
+
+    # multi-word left shift of the kmer by s bits (s <= 48)
+    cols = []
+    for i in range(w):
+        v = _shl32(words[..., i], s[..., 0])
+        if i + 1 < w:
+            v = v | jnp.where(s[..., 0] >= U32(32),
+                              _shl32(words[..., i + 1], s[..., 0] - U32(32)),
+                              _shr32(words[..., i + 1], U32(32) - s[..., 0]))
+        if i + 2 < w:
+            v = v | _shr32(words[..., i + 2], U32(64) - s[..., 0])
+        cols.append(v)
+    cols[w - 1] = cols[w - 1] | a_lo
+    if w >= 2:
+        cols[w - 2] = cols[w - 2] | a_hi
+    out = jnp.stack(cols, axis=-1)
+    mask = jnp.concatenate(
+        [jnp.full_like(out[..., :1], top_word_mask(k)),
+         jnp.full_like(out[..., 1:], U32(0xFFFFFFFF))], axis=-1)
+    return out & mask
+
+
 def shift_prepend(words: jnp.ndarray, base: jnp.ndarray, k: int) -> jnp.ndarray:
     """Prev kmer: drop the last base, prepend `base` at the front."""
     w = words.shape[-1]

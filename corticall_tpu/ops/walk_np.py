@@ -73,6 +73,38 @@ def walk_forward_np(graph: gr.CortexGraph, colors, seed_codes: np.ndarray,
     return bases, cycles, steps
 
 
+def decode_runs(w0: np.ndarray, w1: np.ndarray) -> np.ndarray:
+    """Unpack one walk's run-word columns (uint32[T] each, from
+    cuckoo.walk_forward_runs) into an int8 base-code array in emission order.
+    word0 bits 29..24 = run length m; bases are big-endian 2-bit fields —
+    b0..b11 in word0 bits 23..0, b12..b23 in word1 bits 23..0."""
+    w0 = np.asarray(w0, dtype=np.uint64)
+    w1 = np.asarray(w1, dtype=np.uint64)
+    m = ((w0 >> 24) & 0x3F).astype(np.int64)
+    # 48-bit field per iteration, b0 at bits 47..46
+    f = ((w0 & 0xFFFFFF) << 24) | (w1 & 0xFFFFFF)
+    total = int(m.sum())
+    starts = np.concatenate([[0], np.cumsum(m)[:-1]])
+    t_idx = np.repeat(np.arange(len(m)), m)
+    j_idx = np.arange(total) - starts[t_idx]            # 0..m-1 within run
+    out = ((f[t_idx] >> (46 - 2 * j_idx).astype(np.uint64)) & 0x3).astype(np.int8)
+    return out
+
+
+def replay_run_walk(seed: str, w0: np.ndarray, w1: np.ndarray,
+                    max_branch_length: int = 75000) -> str:
+    """Exact walk extension from a run-kernel recording.
+
+    The run kernel's recorded path always covers at least one full lap of any
+    cycle (jump-granularity Brent + builder-flagged short cycles, see
+    cuckoo.walk_forward_runs), but its stopping point differs from the
+    single-step kernel's; applying the reference's seen-set rule to the
+    recorded successor map (replay_walk's cycled path) yields the oracle
+    answer in every case — including capped walks with undetected revisits."""
+    bases = decode_runs(w0, w1)
+    return replay_walk(seed, bases, True, max_branch_length)
+
+
 def replay_walk(seed: str, bases: np.ndarray, cycled: bool,
                 max_branch_length: int = 75000) -> str:
     """Rebuild the walked extension with the reference's exact stopping rule.

@@ -170,3 +170,120 @@ def test_walk_spec_chunked_matches_one_shot():
     # early exit engaged: the emitted stream is shorter than the full scan
     # whenever all walks die before the cap
     assert cb.shape[0] <= ck.spec_iters(300)
+
+
+# ---------------------------------------------------------------------------
+# run table: unitig-lookahead jump walks
+# ---------------------------------------------------------------------------
+
+def test_shift_append_multi_matches_repeated():
+    from corticall_tpu.ops import kmer_jax as kj
+    import jax.numpy as jnp2
+    rng = np.random.default_rng(0)
+    for k in (5, 16, 21, 31, 33, 47, 63):
+        strs = ["".join(rng.choice(list("ACGT"), k)) for _ in range(48)]
+        words = jnp2.asarray(km.pack_codes(km.strings_to_codes(strs), k))
+        bases = rng.integers(0, 4, (48, 24)).astype(np.uint32)
+        m = rng.integers(0, 25, 48).astype(np.int32)
+        hi24 = np.zeros(48, np.uint32)
+        lo24 = np.zeros(48, np.uint32)
+        for j in range(12):
+            hi24 |= bases[:, j] << (22 - 2 * j)
+            lo24 |= bases[:, 12 + j] << (22 - 2 * j)
+        out = kj.shift_append_multi(words, jnp2.asarray(hi24),
+                                    jnp2.asarray(lo24), jnp2.asarray(m), k)
+        exp = words
+        for step in range(24):
+            nxt = kj.shift_append(exp, jnp2.asarray(bases[:, step]), k)
+            exp = jnp2.where((jnp2.asarray(m) > step)[:, None], nxt, exp)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(exp))
+
+
+def test_run_table_matches_spec_on_linear_graph():
+    from corticall_tpu.ops import walk_np as wnp
+    for k in (15, 47):
+        g, genome, rng = _graph(300 + k, 30000, k)
+        rt = ck.build_run_table(g.kmers, g.edges[:, 0], k)
+        ct = ck.build_walk_table(g.kmers, g.edges[:, 0])
+        starts = rng.integers(0, 30000 - k, size=96)
+        seed_strs = [genome[i:i + k] for i in starts]
+        seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(seed_strs), k))
+        w0, w1, rcy, rs = ck.walk_forward_runs(
+            jnp.asarray(rt.buckets), seeds, k, 120, rt.entry_words)
+        sb, sc, ss = ck.walk_forward_spec(jnp.asarray(ct.buckets), seeds, k, 120)
+        # acyclic walks emit identical step counts
+        np.testing.assert_array_equal(np.asarray(rs), np.asarray(ss))
+        w0t, w1t = np.asarray(w0).T, np.asarray(w1).T
+        sbt = np.asarray(sb).T
+        for i, s in enumerate(seed_strs):
+            assert (wnp.replay_run_walk(s, w0t[i], w1t[i], 120)
+                    == wk.replay_walk(s, sbt[i], bool(np.asarray(sc)[i]), 120))
+
+
+def test_run_table_circular_chromosome():
+    from corticall_tpu.ops import walk_np as wnp
+    k = 21
+    rng = np.random.default_rng(3)
+    genome = "".join(rng.choice(list("ACGT"), 600))
+    cyc = genome + genome[:k]
+    g = fixtures.build_graph({"s": [cyc]}, k)
+    rt = ck.build_run_table(g.kmers, g.edges[:, 0], k)
+    seeds = jnp.asarray(km.pack_codes(km.strings_to_codes([cyc[:k]]), k))
+    w0, w1, rcy, rs = ck.walk_forward_runs(
+        jnp.asarray(rt.buckets), seeds, k, 3000, rt.entry_words)
+    assert bool(np.asarray(rcy)[0])
+    ext = wnp.replay_run_walk(cyc[:k], np.asarray(w0).T[0],
+                              np.asarray(w1).T[0], 3000)
+    # reference seen-set semantics: one full lap plus one base
+    assert (cyc[:k] + ext) in (genome + genome + genome)
+    assert len(ext) == len(genome) + 1
+
+
+def test_run_table_short_cycles_and_junctions():
+    from corticall_tpu.ops import walk_np as wnp
+    k = 5
+    cases = {
+        "fig1": "ACTGATTTCGATGCGATGCGATGCCACGGTGG",  # junction stop
+        "homopolymer": "TTGCA" + "A" * 30 + "CGTAC",  # self-loop kmer
+    }
+    # tiny cycle: circular 8-mer chromosome at k=5
+    tiny = "ACGTGCTT"
+    cases["tiny_cycle"] = tiny + tiny[:k]
+    for name, hap in cases.items():
+        g = fixtures.build_graph({"s": [hap]}, k)
+        rt = ck.build_run_table(g.kmers, g.edges[:, 0], k)
+        ct = ck.build_walk_table(g.kmers, g.edges[:, 0])
+        seed_strs = sorted({hap[i:i + k] for i in range(len(hap) - k + 1)})
+        seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(seed_strs), k))
+        w0, w1, rcy, rs = ck.walk_forward_runs(
+            jnp.asarray(rt.buckets), seeds, k, 200, rt.entry_words)
+        sb, sc, ss = ck.walk_forward_spec(jnp.asarray(ct.buckets), seeds, k, 200)
+        w0t, w1t, sbt = np.asarray(w0).T, np.asarray(w1).T, np.asarray(sb).T
+        for i, s in enumerate(seed_strs):
+            got = wnp.replay_run_walk(s, w0t[i], w1t[i], 200)
+            want = wk.replay_walk(s, sbt[i], bool(np.asarray(sc)[i]), 200)
+            assert got == want, (name, s, got, want)
+
+
+def test_run_table_cap_and_chunked():
+    from corticall_tpu.ops import walk_np as wnp
+    g, genome, rng = _graph(17, 25000, 31)
+    rt = ck.build_run_table(g.kmers, g.edges[:, 0], 31)
+    starts = rng.integers(0, 25000 - 31, size=64)
+    seed_strs = [genome[i:i + 31] for i in starts]
+    seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(seed_strs), 31))
+    # cap: emitted steps stop exactly at num_steps (mid-run clamping)
+    w0, w1, rcy, rs = ck.walk_forward_runs(
+        jnp.asarray(rt.buckets), seeds, 31, 7, rt.entry_words)
+    assert int(np.asarray(rs).max()) == 7
+    # chunked driver == one-shot
+    o0, o1, ocy, os_ = ck.walk_forward_runs(
+        jnp.asarray(rt.buckets), seeds, 31, 300, rt.entry_words)
+    c0, c1, ccy, cs = ck.walk_forward_runs_chunked(
+        jnp.asarray(rt.buckets), seeds, 31, 300, rt.entry_words, chunk=13)
+    np.testing.assert_array_equal(np.asarray(ocy), ccy)
+    np.testing.assert_array_equal(np.asarray(os_), cs)
+    o0t, o1t, c0t, c1t = (np.asarray(o0).T, np.asarray(o1).T, c0.T, c1.T)
+    for i, s in enumerate(seed_strs):
+        assert (wnp.replay_run_walk(s, o0t[i], o1t[i], 300)
+                == wnp.replay_run_walk(s, c0t[i], c1t[i], 300))
