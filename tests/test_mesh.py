@@ -131,3 +131,47 @@ def test_sharded_linked_walks_match_device_kernel():
     assert all(got[s] == w for s, w in zip(cks, want))
     assert int(junctions.sum()) == int(wjn.sum()) > 0
     assert not overflow.any()
+
+
+def test_routed_exchange_skewed_queries_need_multiple_rounds():
+    """All queries route to ONE shard, so per-round bucket capacity
+    (~2x balanced share) forces ceil(bl/cap) exchange rounds — answers must
+    still come back exact (the capacity fix for round-2 verdict weak #8)."""
+    g, genome = _graph(k=17, n=4000, seed=9)
+    k = g.kmer_size
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("not enough devices")
+    n_dev = 8
+    mesh = Mesh(np.array(devs[:n_dev]), (pm.AXIS,))
+    sg = pm.ShardedGraph.from_graph(g, n_dev)
+
+    # queries = shard 3's own records (their routing hash IS shard 3)
+    h = pm.routing_hash_np(g.kmers)
+    sel = np.nonzero(h % n_dev == 3)[0][:64]
+    assert len(sel) == 64
+    queries = np.tile(g.kmers[sel], (n_dev, 1))       # [8*64, W] all -> shard 3
+    bl = 64
+    assert pm._lookup_cap(bl, n_dev) < bl             # rounds > 1 guaranteed
+
+    step = pm.make_sharded_walk_step(mesh, sg, colors=[0], k=k)
+    with mesh:
+        cur_s, act_s, live = step(jnp.asarray(queries),
+                                  jnp.ones(n_dev * bl, dtype=bool))
+    # oracle: same step single-device
+    from corticall_tpu import device
+    from corticall_tpu.ops import hashtable as ht2
+    dg = device.DeviceGraph.from_graph(g)
+    seeds = jnp.asarray(queries)
+    canon, flipped = kj.canonicalize_words(seeds, k)
+    idx = ht2.lookup(dg.slots, dg.kmers, canon, dg.max_probe)
+    e = jnp.where(idx >= 0, dg.combined_edges([0])[jnp.maximum(idx, 0)],
+                  0).astype(jnp.uint32)
+    next_mask = jnp.where(flipped, e >> 4, e & 0xF)
+    n = kj.popcount4(next_mask)
+    base = kj.lowest_set_base(next_mask)
+    nxt = kj.shift_append(seeds, base.astype(jnp.uint32), k)
+    advance = (n == 1) & (idx >= 0)
+    cur_1 = jnp.where(advance[:, None], nxt, seeds)
+    np.testing.assert_array_equal(np.asarray(act_s), np.asarray(advance))
+    np.testing.assert_array_equal(np.asarray(cur_s), np.asarray(cur_1))
