@@ -86,9 +86,16 @@ class Caller:
     def __init__(self, graph, rois_graph, partitions, backgrounds,
                  references=None, links=(), partition_names=None,
                  del_=0.35, eps=0.90, rho=6e-4, term=1e-3,
-                 window=200, split_distance=2000, logger=None):
+                 window=200, split_distance=2000, logger=None,
+                 tesserae: str = "auto"):
         """partitions: [(name_header, sequence)] (FASTA order).
-        references: {background_name: IndexedReference}."""
+        references: {background_name: IndexedReference}.
+
+        tesserae: "device" runs the mosaic-alignment DP on the accelerator
+        (ops/tesserae_jax.TesseraeDevice — shape-bucketed, identical
+        segments), "host" keeps the numpy oracle, "auto" picks device when a
+        TPU backend is live (Tesserae is the Call hot path, SURVEY §3.2 /
+        Call.java:2126-2263 + Tesserae.java:127-132)."""
         self.graph = graph
         self.rois_graph = rois_graph
         self.partitions = partitions
@@ -96,12 +103,25 @@ class Caller:
         self.references = references or {}
         self.links = list(links)
         self.partition_names = set(partition_names) if partition_names else None
-        self.ma = Tesserae(del_, eps, rho, term)
+        self.ma = self._make_tesserae(tesserae, del_, eps, rho, term)
         self.window = window
         self.split_distance = split_distance
         self.k = graph.kmer_size
         self.log = logger or (lambda *a: None)
         self._walkers: dict = {}
+
+    @staticmethod
+    def _make_tesserae(mode: str, del_, eps, rho, term):
+        if mode == "auto":
+            try:
+                import jax
+                mode = "device" if jax.default_backend() == "tpu" else "host"
+            except Exception:
+                mode = "host"
+        if mode == "device":
+            from ..ops.tesserae_jax import TesseraeDevice
+            return TesseraeDevice(del_, eps, rho, term)
+        return Tesserae(del_, eps, rho, term)
 
     # ------------------------------------------------------------------
     # loaders (Call.java:2348-2381)

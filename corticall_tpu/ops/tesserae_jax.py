@@ -26,14 +26,22 @@ M, I, D = 1, 2, 3
 
 
 @partial(jax.jit, static_argnames=("s_count", "width"))
-def _tesserae_scan(q_codes, t_codes, valid, params, s_count: int, width: int):
-    """q_codes: int32[L1]; t_codes: int32[S, width-1]; valid: bool[S, width-1].
+def _tesserae_scan(q_codes, t_codes, valid, params, s_count: int, width: int,
+                   q_len=None):
+    """q_codes: int32[L1pad]; t_codes: int32[S, width-1]; valid: bool[S, width-1].
 
     params: (ldel, leps, lrho, lpiM, lpiI, lmm, lgm, ldm, lsize_l) float32[9]
     plus emission tables lsm float32[5,5], lsi float32[5] appended by caller.
 
-    Returns per-column packed tracebacks tb_m/tb_i/tb_d int32[L1, S, width]
-    and final (who, state, pos, max_r).
+    q_len (dynamic int32, default = L1pad): the real query length.  The scan
+    always runs L1pad-1 steps but freezes all carries once i >= q_len, so one
+    compiled kernel serves every query length in a shape bucket — the
+    production Caller pads (q, width, s_count) to buckets to avoid a
+    recompile per section (Call.java sections vary freely in size).
+
+    Returns per-column packed tracebacks tb_m/tb_i/tb_d int32[L1pad-1, S,
+    width] (rows past q_len-1 are garbage) and final (who, state, pos, max_r)
+    frozen at column q_len.
     """
     (ldel, leps, lrho, lpiM, lpiI, lmm, lgm, ldm, lsize_l), lsm, lsi = params
 
@@ -83,9 +91,12 @@ def _tesserae_scan(q_codes, t_codes, valid, params, s_count: int, width: int):
     who, state, pos, max_r = column_max(vm, vi)
 
     l1 = q_codes.shape[0]
+    if q_len is None:
+        q_len = jnp.int32(l1)
 
     def step(carry, qc):
         vm, vi, vd, who, state, pos, max_r, i = carry
+        live = i < q_len
         em = lsm[qc, t_codes]
         neg_col = jnp.full((s_count, 1), SMALL)
 
@@ -118,12 +129,20 @@ def _tesserae_scan(q_codes, t_codes, valid, params, s_count: int, width: int):
         nvi = nvi.at[:, 1:].set(jnp.where(valid, nvi[:, 1:] + lsi[qc], SMALL))
         nvi = nvi.at[:, 0].set(SMALL)
 
-        is_last = i >= l1 - 1
+        is_last = i >= q_len - 1
         nvd, state_d = delete_scan(nvm, 2)
         nvd = jnp.where(is_last, jnp.full_like(nvd, SMALL), nvd)
         tbd = pack(seq_ids, state_d, jpos)
 
         nwho, nstate, npos, nmax = column_max(nvm, nvi)
+        # freeze everything once the real query is consumed (bucket padding)
+        nvm = jnp.where(live, nvm, vm)
+        nvi = jnp.where(live, nvi, vi)
+        nvd = jnp.where(live, nvd, vd)
+        nwho = jnp.where(live, nwho, who)
+        nstate = jnp.where(live, nstate, state)
+        npos = jnp.where(live, npos, pos)
+        nmax = jnp.where(live, nmax, max_r)
         return (nvm, nvi, nvd, nwho, nstate, npos, nmax, i + 1), (tbm, tbi, tbd)
 
     carry0 = (vm, vi, vd, who, state, pos, max_r, jnp.int32(1))
@@ -132,12 +151,23 @@ def _tesserae_scan(q_codes, t_codes, valid, params, s_count: int, width: int):
     return tb_d1, tbm_s, tbi_s, tbd_s, who_f, state_f, pos_f, max_f
 
 
+def _bucket(n: int, lo: int = 64) -> int:
+    """Shape bucket: next power of two at least lo — bounds the number of
+    distinct compiles across arbitrarily-sized Call sections."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
 class TesseraeDevice(tz.Tesserae):
     """Tesserae with the DP on device; traceback + segments on host.
 
     Produces the same segment output as the host oracle (validated in tests);
     tiny float tie-break differences are possible in principle but the
-    tie-break ordering rules are identical.
+    tie-break ordering rules are identical.  Shapes are padded to power-of-two
+    buckets (query length rides the scan as a dynamic arg) so the whole Call
+    run costs a handful of compiles, not one per section.
     """
 
     def align(self, query: str, targets: dict) -> list:
@@ -145,14 +175,18 @@ class TesseraeDevice(tz.Tesserae):
             raise ValueError("Tesserae.align requires a non-empty query and targets")
         names = list(targets.keys())
         seqs = [targets[n] for n in names]
-        s_count = len(seqs)
+        s_count = _bucket(len(seqs), 2)
         l1 = len(query)
-        maxl = max([l1] + [len(t) for t in seqs])
+        qpad = _bucket(l1)
+        maxl = _bucket(max([l1] + [len(t) for t in seqs]))
         width = maxl + 1
 
-        q = jnp.asarray(tz._seq_codes(query), dtype=jnp.int32)
+        q = np.zeros(qpad, dtype=np.int32)
+        q[:l1] = tz._seq_codes(query)
+        q = jnp.asarray(q)
         t_codes = np.zeros((s_count, maxl), dtype=np.int32)
-        t_len = np.array([len(t) for t in seqs])
+        t_len = np.zeros(s_count, dtype=np.int64)
+        t_len[:len(seqs)] = [len(t) for t in seqs]
         for si, t in enumerate(seqs):
             t_codes[si, :len(t)] = tz._seq_codes(t)
         valid = (np.arange(1, maxl + 1)[None, :] <= t_len[:, None])
@@ -170,20 +204,22 @@ class TesseraeDevice(tz.Tesserae):
                   jnp.asarray(np.log(tz.EMISS_GAP_NT)))
 
         tb_d1, tbm_s, tbi_s, tbd_s, who, state, pos, max_r = _tesserae_scan(
-            q, jnp.asarray(t_codes), jnp.asarray(valid), params, s_count, width)
+            q, jnp.asarray(t_codes), jnp.asarray(valid), params, s_count,
+            width, q_len=jnp.int32(l1))
 
         self.llk = float(max_r) + math.log(self.term)
         self.combined_llk += self.llk
 
-        # assemble full tb arrays [l1+1, S, width] on host
+        # assemble full tb arrays [l1+1, S, width] on host (scan rows past
+        # the real query length are bucket padding)
         tb_m = np.zeros((l1 + 1, s_count, width), dtype=np.int32)
         tb_i = np.zeros((l1 + 1, s_count, width), dtype=np.int32)
         tb_d = np.zeros((l1 + 1, s_count, width), dtype=np.int32)
         tb_d[1] = np.asarray(tb_d1)
         if l1 > 1:
-            tb_m[2:] = np.asarray(tbm_s)
-            tb_i[2:] = np.asarray(tbi_s)
-            tb_d[2:] = np.asarray(tbd_s)
+            tb_m[2:] = np.asarray(tbm_s)[:l1 - 1]
+            tb_i[2:] = np.asarray(tbi_s)[:l1 - 1]
+            tb_d[2:] = np.asarray(tbd_s)[:l1 - 1]
 
         who, state, pos = int(who), int(state), int(pos)
         cells = [(who, state, pos)]

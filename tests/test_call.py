@@ -172,3 +172,26 @@ def test_call_multiple_variants_one_chromosome():
     indels = [v for v in variants if not v.is_symbolic()
               and len(v.alleles[1]) - len(v.alleles[0]) == len(ins)]
     assert indels, "insertion missing"
+
+
+def test_device_tesserae_identical_vcf():
+    """Caller(tesserae="device") — the TPU mosaic-alignment path
+    (ops/tesserae_jax, shape-bucketed) — must emit exactly the same variants
+    as the host oracle on a multi-variant scenario."""
+    rng = np.random.default_rng(29)
+    parent = _genome(rng, 3000)
+    child = (parent[:600] + "T" + parent[601:]          # SNP-ish
+             )
+    child = child[:1500] + "TGACGTAGGC" + child[1500:]  # 10bp insertion
+    child = child[:2400] + child[2420:]                 # 20bp deletion
+
+    g, rois, parts, refs = make_trio(child, parent)
+    outs = {}
+    for mode in ("host", "device"):
+        caller = Caller(g, rois, parts, backgrounds=["mom", "dad"],
+                        references=refs, tesserae=mode)
+        variants, _ = caller.call()
+        outs[mode] = [(v.chrom, v.start, tuple(v.alleles),
+                       sorted(v.filters), v.get_attr("CALL_FUNC"))
+                      for v in variants]
+    assert outs["host"] == outs["device"] and outs["host"]
