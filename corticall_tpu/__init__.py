@@ -18,4 +18,13 @@ File-format compatibility (.ctx, .ctp.gz/.ctp.bgz) is preserved exactly for
 interop and bit-identical golden tests.
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: the production kernels (walk, linked
+# walk, banded SW, Tesserae scan buckets) compile in 10-130 s each on TPU;
+# caching makes every run after the first pay dispatch cost only.  jax reads
+# the env var lazily at first compile; honor a caller-provided location.
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       "/tmp/corticall_jax_cache")
+
 __version__ = "0.1.0"

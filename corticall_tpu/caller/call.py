@@ -41,12 +41,14 @@ def _kmer_hash_codes(codes: np.ndarray) -> np.ndarray:
     k = codes.shape[1]
     p = _HASH_POWERS.get(k)
     if p is None:
-        p = np.empty(k, np.uint64)
-        x = np.uint64(1)
+        # modular powers under uint64 wraparound; numpy warns on scalar
+        # overflow even though wrapping is the intent, so compute in bulk
+        # (array ops wrap silently)
         mult = np.uint64(0x9E3779B97F4A7C15)
-        for i in range(k):
-            p[i] = x
-            x = x * mult
+        p = np.empty(k, np.uint64)
+        p[0] = 1
+        for i in range(1, k):
+            p[i:i + 1] = p[i - 1:i] * mult
         _HASH_POWERS[k] = p
     return (codes.astype(np.uint64) * p[None, :]).sum(axis=1,
                                                       dtype=np.uint64)

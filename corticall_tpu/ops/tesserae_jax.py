@@ -151,6 +151,52 @@ def _tesserae_scan(q_codes, t_codes, valid, params, s_count: int, width: int,
     return tb_d1, tbm_s, tbi_s, tbd_s, who_f, state_f, pos_f, max_f
 
 
+@jax.jit
+def _tesserae_traceback(tb_d1, tbm_s, tbi_s, tbd_s, who, state, pos, q_len):
+    """Walk the packed traceback ON DEVICE and return just the visited cells.
+
+    The tb arrays are O(L*S*W) — materializing them on host costs a transfer
+    of hundreds of MB per section (the profiled Call spent 10x more time in
+    that transfer than in the DP).  The path itself is O(L + W) cells; this
+    while_loop reproduces the host walk exactly (including the zero-packed
+    column-1 M/I rows whose decode terminates the loop) and ships only
+    cells int32[cap, 3] + count back.
+    """
+    width = tb_d1.shape[1]
+    l1pad = tbm_s.shape[0] + 1
+    cap = l1pad + width + 4
+
+    cells0 = jnp.zeros((cap, 3), jnp.int32)
+    cells0 = cells0.at[0].set(jnp.stack([who, state, pos]))
+
+    def read(pt, who_, state_, pos_):
+        r = jnp.maximum(pt - 2, 0)
+        row_m = jnp.where(pt >= 2, tbm_s[r, who_ - 1, pos_], 0)
+        row_i = jnp.where(pt >= 2, tbi_s[r, who_ - 1, pos_], 0)
+        row_d = jnp.where(pt >= 2, tbd_s[r, who_ - 1, pos_],
+                          tb_d1[who_ - 1, pos_])
+        return jnp.where(state_ == M, row_m,
+                         jnp.where(state_ == I, row_i, row_d))
+
+    def cond(st):
+        pt, _, _, _, n, _ = st
+        return (pt >= 1) & (n < cap)
+
+    def body(st):
+        pt, who_, state_, pos_, n, cells = st
+        tb = read(pt, who_, state_, pos_)
+        who_n = tb >> 25
+        state_n = (tb >> 23) & 3
+        pos_n = tb & ((1 << 23) - 1)
+        cells = cells.at[n].set(jnp.stack([who_n, state_n, pos_n]))
+        pt = jnp.where(state_ != D, pt - 1, pt)
+        return (pt, who_n, state_n, pos_n, n + 1, cells)
+
+    _, _, _, _, n, cells = jax.lax.while_loop(
+        cond, body, (q_len, who, state, pos, jnp.int32(1), cells0))
+    return cells, n
+
+
 def _bucket(n: int, lo: int = 64) -> int:
     """Shape bucket: next power of two at least lo — bounds the number of
     distinct compiles across arbitrarily-sized Call sections."""
@@ -210,34 +256,12 @@ class TesseraeDevice(tz.Tesserae):
         self.llk = float(max_r) + math.log(self.term)
         self.combined_llk += self.llk
 
-        # assemble full tb arrays [l1+1, S, width] on host (scan rows past
-        # the real query length are bucket padding)
-        tb_m = np.zeros((l1 + 1, s_count, width), dtype=np.int32)
-        tb_i = np.zeros((l1 + 1, s_count, width), dtype=np.int32)
-        tb_d = np.zeros((l1 + 1, s_count, width), dtype=np.int32)
-        tb_d[1] = np.asarray(tb_d1)
-        if l1 > 1:
-            tb_m[2:] = np.asarray(tbm_s)[:l1 - 1]
-            tb_i[2:] = np.asarray(tbi_s)[:l1 - 1]
-            tb_d[2:] = np.asarray(tbd_s)[:l1 - 1]
-
-        who, state, pos = int(who), int(state), int(pos)
-        cells = [(who, state, pos)]
-        pos_target = l1
-        while pos_target >= 1:
-            if state == M:
-                tb = tb_m[pos_target, who - 1, pos]
-            elif state == I:
-                tb = tb_i[pos_target, who - 1, pos]
-            else:
-                tb = tb_d[pos_target, who - 1, pos]
-            tb = int(tb)
-            who_n, state_n, pos_n = tb >> 25, (tb >> 23) & 3, tb & ((1 << 23) - 1)
-            prev_state = state
-            who, state, pos = who_n, state_n, pos_n
-            cells.append((who, state, pos))
-            if prev_state != D:
-                pos_target -= 1
-        cells.pop()
+        # traceback walked on device — the O(L*S*W) tb arrays never leave
+        # HBM; only the O(L+W) visited-cell path transfers
+        cells_arr, n = _tesserae_traceback(
+            tb_d1, tbm_s, tbi_s, tbd_s, who, state, pos, jnp.int32(l1))
+        n = int(n)
+        cells = [tuple(int(x) for x in row)
+                 for row in np.asarray(cells_arr)[:n - 1]]
         cells.reverse()
         return self._build_path(query, names, seqs, cells)
