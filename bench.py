@@ -102,7 +102,46 @@ def main():
         bases, cycled, steps = ck.walk_forward_spec(buckets, seeds, k, t)
         total_emitted += int(np.asarray(steps).sum())
     dt = time.perf_counter() - t0
+    spec_sps = total_emitted / dt
+    spec_rows = b * ck.spec_iters(t) * n_iters
+    spec_row_bytes = buckets.shape[1] * 4
+    spec_gbs = spec_rows * spec_row_bytes / dt / 1e9
+
+    # run-table kernel (unitig-lookahead jumps): the chunked driver with
+    # device-held outputs — only the live flag and final counts sync
+    rt_t0 = time.perf_counter()
+    rt = ck.build_run_table(g.kmers, g.edges[:, 0], k)
+    rt_build_s = time.perf_counter() - rt_t0
+    rbuckets = jnp.asarray(rt.buckets)
+    rruns = jnp.asarray(rt.runs)
+    run_chunk = int(os.environ.get("BENCH_RUN_CHUNK", "8"))
+
+    def run_once():
+        state = ck._spec_init(seeds)
+        total = ck.run_iters(t)
+        done = iters_used = 0
+        while done < total:
+            length = min(run_chunk, total - done)
+            state, _, any_active = ck._run_chunk(
+                rbuckets, rruns, state, k, t, length)
+            done += length
+            iters_used = done
+            if not bool(np.asarray(any_active)):
+                break
+        return int(np.asarray(state[3]).sum()), iters_used
+
+    run_once()                                          # compile
+    t0 = time.perf_counter()
+    total_emitted = total_rows = 0
+    for _ in range(n_iters):
+        emitted, iters_used = run_once()
+        total_emitted += emitted
+        total_rows += iters_used * b
+    dt = time.perf_counter() - t0
     device_sps = total_emitted / dt
+    run_row_bytes = (rbuckets.shape[1] + rruns.shape[1]) * 4
+    run_gbs = total_rows * run_row_bytes / dt / 1e9
+    run_bytes_per_step = total_rows * run_row_bytes / max(total_emitted, 1)
 
     # calibrated baseline: the C++ single-thread walker (table prebuilt,
     # walk-only timing) — a Java-class-or-better host core
@@ -152,6 +191,8 @@ def main():
     except Exception:
         sw_gcups = None
 
+    # v5e HBM peak ~819 GB/s: report achieved gather bandwidth so the
+    # distance to the roofline is a first-class number, not a mystery
     print(json.dumps({
         "metric": "kmer_traversal_steps_per_sec_per_chip",
         "value": round(device_sps),
@@ -159,6 +200,13 @@ def main():
         "vs_baseline": round(device_sps / native_sps, 2) if native_sps
         else (round(device_sps / host_sps, 2) if host_sps else None),
         "vs_python": round(device_sps / host_sps, 2) if host_sps else None,
+        "walk_kernel": "run_table",
+        "walk_single_step_sps": round(spec_sps),
+        "run_table_build_s": round(rt_build_s, 1),
+        "hbm_bytes_per_step": round(run_bytes_per_step, 1),
+        "hbm_gather_gb_s": round(run_gbs, 2),
+        "hbm_gather_gb_s_single_step": round(spec_gbs, 2),
+        "hbm_utilization_pct": round(100 * run_gbs / 819, 2),
         "sw_gcups": sw_gcups,
         "sw_kernel": sw_kernel,
     }))

@@ -382,31 +382,59 @@ def _pack_runs(bases: np.ndarray, cycled: np.ndarray,
     return np.stack([w0, w1], axis=1)
 
 
+@dataclass
+class RunTable:
+    """Key table + parallel run pool, SPLIT into two narrow arrays: TPU
+    gathers of 8-word (32 B) rows run several times faster than 16-word rows,
+    so the jump kernel reads keys and runs as two fast gathers at the same
+    bucket index instead of one slow wide gather.  `buckets` is exactly a
+    build_walk_table layout (bs=2, primary-biased); `runs[b, e*4:(e+1)*4]` =
+    (fwd0, fwd1, rev0, rev1) for entry e of bucket b."""
+    buckets: np.ndarray      # uint32[NB, 2*(W+1)]
+    runs: np.ndarray         # uint32[NB, 2*4]
+    nb_bits: int
+    words: int
+    bucket_size: int = 2
+    primary_fraction: float = 0.0
+
+
 def build_run_table(kmers: np.ndarray, edges: np.ndarray, k: int,
                     load_factor: float = 0.5,
-                    chunk: int = 262144) -> CuckooTable:
-    """Walk table with per-entry unitig runs (entry = W+1+4 words, bucket
-    size 2).  Runs are recorded by the base speculative kernel itself
-    (walk_forward_spec_chunked with num_steps=RUN_MAX) from every kmer in
-    both orientations, so they inherit its exact step semantics."""
-    plain = build_walk_table(kmers, edges, load_factor=load_factor)
-    buckets = jnp.asarray(plain.buckets)
-    n = kmers.shape[0]
+                    chunk: int = 262144) -> RunTable:
+    """Walk table with per-entry unitig runs.  Runs are recorded by the base
+    speculative kernel itself (walk_forward_spec_chunked with
+    num_steps=RUN_MAX) from every kmer in both orientations, so they inherit
+    its exact step semantics."""
+    n, w = kmers.shape
+    nb, bucket_of, pos_of, h1 = _place(kmers, load_factor, None, 2, True)
+    buckets = np.zeros((nb, 2 * (w + 1)), dtype=np.uint32)
+    col = pos_of * (w + 1)
+    for wi in range(w):
+        buckets[bucket_of, col + wi] = kmers[:, wi]
+    buckets[bucket_of, col + w] = np.uint32(0x80000000) | edges.astype(np.uint32)
+
+    dev_buckets = jnp.asarray(buckets)
 
     def record(seed_words: np.ndarray) -> np.ndarray:
         out = np.zeros((seed_words.shape[0], 2), np.uint32)
         for lo in range(0, seed_words.shape[0], chunk):
-            sl = jnp.asarray(seed_words[lo:lo + chunk])
+            sl = jnp.asarray(np.ascontiguousarray(seed_words[lo:lo + chunk]))
             bases, cycled, steps = walk_forward_spec_chunked(
-                buckets, sl, k, RUN_MAX)
+                dev_buckets, sl, k, RUN_MAX)
             out[lo:lo + chunk] = _pack_runs(bases, cycled, steps)
         return out
 
     fwd = record(kmers)
     rev = record(np.asarray(kj.revcomp_words(jnp.asarray(kmers), k)))
-    extra = np.concatenate([fwd, rev], axis=1)      # [N, 4]
-    return build_cuckoo(kmers, edges, load_factor=load_factor,
-                        bucket_size=2, primary_bias=True, extra=extra)
+    runs = np.zeros((nb, 2 * 4), dtype=np.uint32)
+    rcol = pos_of * 4
+    runs[bucket_of, rcol + 0] = fwd[:, 0]
+    runs[bucket_of, rcol + 1] = fwd[:, 1]
+    runs[bucket_of, rcol + 2] = rev[:, 0]
+    runs[bucket_of, rcol + 3] = rev[:, 1]
+    return RunTable(buckets=buckets, runs=runs,
+                    nb_bits=int(nb).bit_length() - 1, words=w,
+                    primary_fraction=float((bucket_of == h1).mean()) if n else 1.0)
 
 
 def run_iters(num_steps: int) -> int:
@@ -417,25 +445,28 @@ def run_iters(num_steps: int) -> int:
     return spec_iters(num_steps)
 
 
-def _run_step_fn(buckets, k: int, num_steps: int, bs: int, mask, ew: int):
-    """One run-jump iteration.  State mirrors _spec_step_fn."""
-    w = ew - 1 - _RUN_WORDS
+def _run_step_fn(buckets, runs, k: int, num_steps: int, bs: int, mask):
+    """One run-jump iteration.  State mirrors _spec_step_fn.  Keys and runs
+    are gathered as two narrow (8-word) rows at the same bucket index — see
+    RunTable."""
+    w = buckets.shape[1] // bs - 1
 
     def step(state, _):
         cur, probe, active, emitcnt, cycled, saved, power, lam = state
         canon, flipped = kj.canonicalize_words(cur, k)
         h = kj.hash_words(canon)
         idx = jnp.where(probe, _jnp_h2(h) & mask, h & mask).astype(jnp.int32)
-        rows = buckets[idx].reshape(cur.shape[0], bs, ew)
+        rows = buckets[idx].reshape(cur.shape[0], bs, w + 1)
         tag = rows[..., w]
         match = (tag >= jnp.uint32(0x80000000)) & jnp.all(
             rows[..., :w] == canon[:, None, :], axis=-1)
         found = jnp.any(match, axis=1)
+        rrows = runs[idx].reshape(cur.shape[0], bs, 4)
 
         def pick(c):
-            return jnp.max(jnp.where(match, rows[..., c], 0), axis=1)
-        r0 = jnp.where(flipped, pick(w + 3), pick(w + 1))
-        r1 = jnp.where(flipped, pick(w + 4), pick(w + 2))
+            return jnp.max(jnp.where(match, rrows[..., c], 0), axis=1)
+        r0 = jnp.where(flipped, pick(2), pick(0))
+        r1 = jnp.where(flipped, pick(3), pick(1))
         run_len = ((r0 >> jnp.uint32(24)) & jnp.uint32(0x3F)).astype(jnp.int32)
         run_cyc = (r0 >> jnp.uint32(31)) != 0
 
@@ -473,35 +504,34 @@ def _run_step_fn(buckets, k: int, num_steps: int, bs: int, mask, ew: int):
     return step
 
 
-@partial(jax.jit, static_argnames=("k", "num_steps", "entry_words",
-                                   "chunk_len"))
-def _run_chunk(buckets, state, k: int, num_steps: int, entry_words: int,
-               chunk_len: int):
-    bs = buckets.shape[1] // entry_words
+@partial(jax.jit, static_argnames=("k", "num_steps", "chunk_len"))
+def _run_chunk(buckets, runs, state, k: int, num_steps: int, chunk_len: int):
+    w = state[0].shape[1]
+    bs = buckets.shape[1] // (w + 1)
     mask = jnp.uint32(buckets.shape[0] - 1)
-    step = _run_step_fn(buckets, k, num_steps, bs, mask, entry_words)
+    step = _run_step_fn(buckets, runs, k, num_steps, bs, mask)
     state, out = jax.lax.scan(step, state, None, length=chunk_len)
     return state, out, state[2].any()
 
 
-@partial(jax.jit, static_argnames=("k", "num_steps", "entry_words"))
-def walk_forward_runs(buckets, seeds, k: int, num_steps: int,
-                      entry_words: int):
+@partial(jax.jit, static_argnames=("k", "num_steps"))
+def walk_forward_runs(buckets, runs, seeds, k: int, num_steps: int):
     """Run-table walk: (run_w0 u32[T, B], run_w1 u32[T, B], cycled bool[B],
     steps int32[B]).  Each iteration emits a whole unitig run (<= RUN_MAX
     bases, length in bits 29..24 of run_w0); decode with
     ops/walk_np.decode_runs / replay with replay_run_walk.  steps is capped
     at num_steps exactly like walk_forward_spec."""
-    bs = buckets.shape[1] // entry_words
+    w = seeds.shape[1]
+    bs = buckets.shape[1] // (w + 1)
     mask = jnp.uint32(buckets.shape[0] - 1)
-    step = _run_step_fn(buckets, k, num_steps, bs, mask, entry_words)
+    step = _run_step_fn(buckets, runs, k, num_steps, bs, mask)
     (_, _, _, emitcnt, cycled, *_), (w0, w1) = jax.lax.scan(
         step, _spec_init(seeds), None, length=run_iters(num_steps))
     return w0, w1, cycled, emitcnt
 
 
-def walk_forward_runs_chunked(buckets, seeds, k: int, num_steps: int,
-                              entry_words: int, chunk: int = 32):
+def walk_forward_runs_chunked(buckets, runs, seeds, k: int, num_steps: int,
+                              chunk: int = 32):
     """walk_forward_runs with host-checked early exit between device chunks
     (the run twin of walk_forward_spec_chunked)."""
     state = _spec_init(seeds)
@@ -511,7 +541,7 @@ def walk_forward_runs_chunked(buckets, seeds, k: int, num_steps: int,
     while done < total:
         length = min(chunk, total - done)
         state, (w0, w1), any_active = _run_chunk(
-            buckets, state, k, num_steps, entry_words, length)
+            buckets, runs, state, k, num_steps, length)
         out0.append(np.asarray(w0))
         out1.append(np.asarray(w1))
         done += length

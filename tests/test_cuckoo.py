@@ -209,7 +209,7 @@ def test_run_table_matches_spec_on_linear_graph():
         seed_strs = [genome[i:i + k] for i in starts]
         seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(seed_strs), k))
         w0, w1, rcy, rs = ck.walk_forward_runs(
-            jnp.asarray(rt.buckets), seeds, k, 120, rt.entry_words)
+            jnp.asarray(rt.buckets), jnp.asarray(rt.runs), seeds, k, 120)
         sb, sc, ss = ck.walk_forward_spec(jnp.asarray(ct.buckets), seeds, k, 120)
         # acyclic walks emit identical step counts
         np.testing.assert_array_equal(np.asarray(rs), np.asarray(ss))
@@ -230,7 +230,7 @@ def test_run_table_circular_chromosome():
     rt = ck.build_run_table(g.kmers, g.edges[:, 0], k)
     seeds = jnp.asarray(km.pack_codes(km.strings_to_codes([cyc[:k]]), k))
     w0, w1, rcy, rs = ck.walk_forward_runs(
-        jnp.asarray(rt.buckets), seeds, k, 3000, rt.entry_words)
+        jnp.asarray(rt.buckets), jnp.asarray(rt.runs), seeds, k, 3000)
     assert bool(np.asarray(rcy)[0])
     ext = wnp.replay_run_walk(cyc[:k], np.asarray(w0).T[0],
                               np.asarray(w1).T[0], 3000)
@@ -256,7 +256,7 @@ def test_run_table_short_cycles_and_junctions():
         seed_strs = sorted({hap[i:i + k] for i in range(len(hap) - k + 1)})
         seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(seed_strs), k))
         w0, w1, rcy, rs = ck.walk_forward_runs(
-            jnp.asarray(rt.buckets), seeds, k, 200, rt.entry_words)
+            jnp.asarray(rt.buckets), jnp.asarray(rt.runs), seeds, k, 200)
         sb, sc, ss = ck.walk_forward_spec(jnp.asarray(ct.buckets), seeds, k, 200)
         w0t, w1t, sbt = np.asarray(w0).T, np.asarray(w1).T, np.asarray(sb).T
         for i, s in enumerate(seed_strs):
@@ -274,13 +274,13 @@ def test_run_table_cap_and_chunked():
     seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(seed_strs), 31))
     # cap: emitted steps stop exactly at num_steps (mid-run clamping)
     w0, w1, rcy, rs = ck.walk_forward_runs(
-        jnp.asarray(rt.buckets), seeds, 31, 7, rt.entry_words)
+        jnp.asarray(rt.buckets), jnp.asarray(rt.runs), seeds, 31, 7)
     assert int(np.asarray(rs).max()) == 7
     # chunked driver == one-shot
     o0, o1, ocy, os_ = ck.walk_forward_runs(
-        jnp.asarray(rt.buckets), seeds, 31, 300, rt.entry_words)
+        jnp.asarray(rt.buckets), jnp.asarray(rt.runs), seeds, 31, 300)
     c0, c1, ccy, cs = ck.walk_forward_runs_chunked(
-        jnp.asarray(rt.buckets), seeds, 31, 300, rt.entry_words, chunk=13)
+        jnp.asarray(rt.buckets), jnp.asarray(rt.runs), seeds, 31, 300, chunk=13)
     np.testing.assert_array_equal(np.asarray(ocy), ccy)
     np.testing.assert_array_equal(np.asarray(os_), cs)
     o0t, o1t, c0t, c1t = (np.asarray(o0).T, np.asarray(o1).T, c0.T, c1.T)
