@@ -27,6 +27,7 @@ from ..traversal import (BOTH, FORWARD, OR, REVERSE, TraversalConfig,
 from ..traversal import utils as tu
 from ..traversal.stopping import ContigStopper, DestinationStopper
 from ..traversal.subgraph import Subgraph, Vertex
+from ..utils.profiling import SectionTimer
 from .variants import Variant, VariantSorterSet, write_vcf
 
 # vectorized canonical-kmer hashing for link-key membership: a hash
@@ -111,6 +112,10 @@ class Caller:
         self.k = graph.kmer_size
         self.log = logger or (lambda *a: None)
         self._walkers: dict = {}
+        # per-phase wall-clock (device phases prefixed "device:"), reported
+        # by the pipeline's call stage — the reference logs only a total
+        # (Dispatch.java:75-84)
+        self.timer = SectionTimer()
 
     @staticmethod
     def _make_tesserae(mode: str, del_, eps, rho, term):
@@ -1311,10 +1316,15 @@ class Caller:
         seq_index = {name: i for i, (name, _) in enumerate(sd)}
         svcs = VariantSorterSet(seq_index)
 
+        tmr = self.timer
+        device_ma = type(self.ma).__name__ == "TesseraeDevice"
+        ma_section = "device:tesserae" if device_ma else "host:tesserae"
+
         for rseq_index, (header, seq) in enumerate(rseqs):
             contig_name = header.split(" ")[0]
-            w = self.load_child_walk(seq)
-            sections = self.section_contig(rois, w)
+            with tmr.section("host:load_walk"):
+                w = self.load_child_walk(seq)
+                sections = self.section_contig(rois, w)
             vcs = VariantSorterSet(seq_index)
 
             if sections is None:
@@ -1323,30 +1333,34 @@ class Caller:
                 self.log(f"partition {rseq_index}: {len(sections)} sections")
                 for section_index, (sec_start, sec_stop, ws) in enumerate(sections):
                     targets: dict = {}
-                    for parent_name in self.backgrounds:
-                        targets.update(self.assemble_candidate_haplotypes(ws, parent_name))
+                    with tmr.section("mixed:assemble_haplotypes"):
+                        for parent_name in self.backgrounds:
+                            targets.update(self.assemble_candidate_haplotypes(ws, parent_name))
 
                     if not targets:
                         continue
-                    tq_start, tq_stop, tq_seq = self.trim_query(ws, targets, rois)
-                    labelled = self.label_targets(targets)
+                    with tmr.section("host:trim_label"):
+                        tq_start, tq_stop, tq_seq = self.trim_query(ws, targets, rois)
+                        labelled = self.label_targets(targets)
                     if not labelled:
                         continue
 
-                    lps = self.ma.align(tq_seq, labelled)
-                    nrs = self.novelty_regions(rois, lps, True)
+                    with tmr.section(ma_section):
+                        lps = self.ma.align(tq_seq, labelled)
+                    with tmr.section("host:extract_variants"):
+                        nrs = self.novelty_regions(rois, lps, True)
 
-                    calls = []
-                    calls += self.call_small_bubbles(lps, nrs, contig_name,
-                                                     sec_start + tq_start, sec_stop + tq_start)
-                    calls += self.call_large_bubbles(lps, nrs, labelled, contig_name,
-                                                     sec_start + tq_start, sec_stop + tq_start)
-                    calls += self.call_repeats(lps, nrs, labelled, contig_name,
-                                               sec_start + tq_start, sec_stop + tq_start)
-                    calls += self.call_breakpoints(lps, nrs, contig_name,
+                        calls = []
+                        calls += self.call_small_bubbles(lps, nrs, contig_name,
+                                                         sec_start + tq_start, sec_stop + tq_start)
+                        calls += self.call_large_bubbles(lps, nrs, labelled, contig_name,
+                                                         sec_start + tq_start, sec_stop + tq_start)
+                        calls += self.call_repeats(lps, nrs, labelled, contig_name,
                                                    sec_start + tq_start, sec_stop + tq_start)
+                        calls += self.call_breakpoints(lps, nrs, contig_name,
+                                                       sec_start + tq_start, sec_stop + tq_start)
 
-                    merged = self.merge_bubbles(lps, calls)
+                        merged = self.merge_bubbles(lps, calls)
 
                     section_rois = sorted(
                         ck for ck in (
@@ -1366,8 +1380,9 @@ class Caller:
                         survivors.append(vcb)
                     vcs.add_all(survivors)
 
-            vcs = self.merge_double_breakpoints(seq, vcs)
-            vcs = self.assign_coordinates_all(vcs)
+            with tmr.section("host:merge_coords"):
+                vcs = self.merge_double_breakpoints(seq, vcs)
+                vcs = self.assign_coordinates_all(vcs)
 
             for vcb in vcs:
                 vcb.rm_attrs(["targets", "lps"])

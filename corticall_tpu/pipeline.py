@@ -249,7 +249,12 @@ def run_pipeline(workdir: str, reads_by_sample: dict, child: str,
                         references=references or {}, links=links,
                         **(caller_opts or {}))
         variants, _ = caller.write_outputs(vcf_path, acct_path)
-        return variants, {"calls": len(variants)}
+        breakdown = {name: round(dt, 3)
+                     for name, dt in sorted(caller.timer.sections.items(),
+                                            key=lambda kv: -kv[1])}
+        if breakdown:
+            pl.log(f"[pipeline] call breakdown: {breakdown}")
+        return variants, {"calls": len(variants), "call_breakdown": breakdown}
     variants = pl.stage(
         "call", ["calls.vcf", "accounting.txt"], compute_call,
         lambda vp, ap: _load_vcf_variants(vp))
