@@ -197,6 +197,23 @@ def _tesserae_traceback(tb_d1, tbm_s, tbi_s, tbd_s, who, state, pos, q_len):
     return cells, n
 
 
+@partial(jax.jit, static_argnames=("s_count", "width"))
+def _tesserae_full(q_codes, t_codes, valid, params, s_count: int, width: int,
+                   q_len):
+    """Scan + traceback fused into one dispatch.
+
+    Each blocking device→host sync pays a full round-trip (on the tunneled
+    TPU backend ~35 ms each — the profiled Call spent its whole device phase
+    in three serialized syncs per align).  Returning (max_r, cells, n) from
+    one jitted call lets align() fetch everything with a single device_get.
+    """
+    tb_d1, tbm_s, tbi_s, tbd_s, who, state, pos, max_r = _tesserae_scan(
+        q_codes, t_codes, valid, params, s_count, width, q_len=q_len)
+    cells, n = _tesserae_traceback(
+        tb_d1, tbm_s, tbi_s, tbd_s, who, state, pos, q_len)
+    return max_r, cells, n
+
+
 def _bucket(n: int, lo: int = 64) -> int:
     """Shape bucket: next power of two at least lo — bounds the number of
     distinct compiles across arbitrarily-sized Call sections."""
@@ -223,8 +240,14 @@ class TesseraeDevice(tz.Tesserae):
         seqs = [targets[n] for n in names]
         s_count = _bucket(len(seqs), 2)
         l1 = len(query)
-        qpad = _bucket(l1)
+        # one shared size bucket for query padding and target width: sections
+        # pair similar-length child/parent haplotypes, so coupling the two
+        # dims costs little padding and halves the number of distinct
+        # compiled kernels (keyed on (s_count, size) instead of
+        # (s_count, qpad, maxl)) — compile time, not DP time, dominates the
+        # Call stage's device phase
         maxl = _bucket(max([l1] + [len(t) for t in seqs]))
+        qpad = maxl
         width = maxl + 1
 
         q = np.zeros(qpad, dtype=np.int32)
@@ -249,19 +272,16 @@ class TesseraeDevice(tz.Tesserae):
         params = (tuple(scal), jnp.asarray(np.log(tz.EMISS_MATCH_NT)),
                   jnp.asarray(np.log(tz.EMISS_GAP_NT)))
 
-        tb_d1, tbm_s, tbi_s, tbd_s, who, state, pos, max_r = _tesserae_scan(
+        # one dispatch, one sync: scan + device traceback fused, and the
+        # O(L*S*W) tb arrays never leave HBM — only (llk, path, count)
+        max_r, cells_arr, n = jax.device_get(_tesserae_full(
             q, jnp.asarray(t_codes), jnp.asarray(valid), params, s_count,
-            width, q_len=jnp.int32(l1))
+            width, jnp.int32(l1)))
 
         self.llk = float(max_r) + math.log(self.term)
         self.combined_llk += self.llk
 
-        # traceback walked on device — the O(L*S*W) tb arrays never leave
-        # HBM; only the O(L+W) visited-cell path transfers
-        cells_arr, n = _tesserae_traceback(
-            tb_d1, tbm_s, tbi_s, tbd_s, who, state, pos, jnp.int32(l1))
         n = int(n)
-        cells = [tuple(int(x) for x in row)
-                 for row in np.asarray(cells_arr)[:n - 1]]
+        cells = [tuple(int(x) for x in row) for row in cells_arr[:n - 1]]
         cells.reverse()
         return self._build_path(query, names, seqs, cells)
