@@ -107,39 +107,36 @@ def main():
     spec_row_bytes = buckets.shape[1] * 4
     spec_gbs = spec_rows * spec_row_bytes / dt / 1e9
 
-    # run-table kernel (unitig-lookahead jumps): the chunked driver with
-    # device-held outputs — only the live flag and final counts sync
-    rt_t0 = time.perf_counter()
-    rt = ck.build_run_table(g.kmers, g.edges[:, 0], k)
-    rt_build_s = time.perf_counter() - rt_t0
-    rbuckets = jnp.asarray(rt.buckets)
-    rruns = jnp.asarray(rt.runs)
-    run_chunk = int(os.environ.get("BENCH_RUN_CHUNK", "8"))
+    # jump-table kernel (pointer-chased unitig runs): after one seed lookup,
+    # each iteration is a single directly-addressed 16 B gather — no hashing,
+    # no key compares, no stalls (ops/cuckoo.py JumpTable).  Each run is ONE
+    # dispatch (device-side early exit); the n_iters runs are enqueued
+    # back-to-back and synced once, so the remote-tunnel dispatch latency
+    # (~40 ms/round-trip here) is paid once, not per run.
+    jt_t0 = time.perf_counter()
+    jt = ck.build_jump_table(g.kmers, g.edges[:, 0], k)
+    jt_build_s = time.perf_counter() - jt_t0
+    jbuckets = jnp.asarray(jt.buckets)
+    jrows = jnp.asarray(jt.rows)
+    jump_sub = int(os.environ.get("BENCH_RUN_CHUNK", "4"))
 
-    def run_once():
-        state = ck._spec_init(seeds)
-        total = ck.run_iters(t)
-        done = iters_used = 0
-        while done < total:
-            length = min(run_chunk, total - done)
-            state, _, any_active = ck._run_chunk(
-                rbuckets, rruns, state, k, t, length)
-            done += length
-            iters_used = done
-            if not bool(np.asarray(any_active)):
-                break
-        return int(np.asarray(state[3]).sum()), iters_used
+    def jump_dispatch():
+        state = ck._jump_init(ck._jump_seed_rows(jbuckets, seeds, k))
+        total = -(-ck.jump_iters(t) // jump_sub) * jump_sub
+        state, _, _, iters = ck._jump_chunk_device(
+            jrows, state, t, total, jump_sub)
+        return jnp.sum(state[2]), iters  # device scalars — no host sync
 
-    run_once()                                          # compile
+    cnt, it = jump_dispatch()
+    int(np.asarray(cnt))                                # compile + sync
     t0 = time.perf_counter()
-    total_emitted = total_rows = 0
-    for _ in range(n_iters):
-        emitted, iters_used = run_once()
-        total_emitted += emitted
-        total_rows += iters_used * b
+    outs = [jump_dispatch() for _ in range(n_iters)]
+    total_emitted = sum(int(np.asarray(c)) for c, _ in outs)
     dt = time.perf_counter() - t0
+    iters_used = int(np.asarray(outs[-1][1]))
+    total_rows = iters_used * b * n_iters
     device_sps = total_emitted / dt
-    run_row_bytes = (rbuckets.shape[1] + rruns.shape[1]) * 4
+    run_row_bytes = jrows.shape[1] * 4
     run_gbs = total_rows * run_row_bytes / dt / 1e9
     run_bytes_per_step = total_rows * run_row_bytes / max(total_emitted, 1)
 
@@ -200,9 +197,9 @@ def main():
         "vs_baseline": round(device_sps / native_sps, 2) if native_sps
         else (round(device_sps / host_sps, 2) if host_sps else None),
         "vs_python": round(device_sps / host_sps, 2) if host_sps else None,
-        "walk_kernel": "run_table",
+        "walk_kernel": "jump_table",
         "walk_single_step_sps": round(spec_sps),
-        "run_table_build_s": round(rt_build_s, 1),
+        "jump_table_build_s": round(jt_build_s, 1),
         "hbm_bytes_per_step": round(run_bytes_per_step, 1),
         "hbm_gather_gb_s": round(run_gbs, 2),
         "hbm_gather_gb_s_single_step": round(spec_gbs, 2),

@@ -339,6 +339,37 @@ def _spec_chunk(buckets, state, k: int, num_steps: int, chunk_len: int):
     return state, bases, state[2].any()
 
 
+@partial(jax.jit, static_argnames=("k", "num_steps", "chunk_len", "sub"))
+def _spec_chunk_device(buckets, state, k: int, num_steps: int,
+                       chunk_len: int, sub: int):
+    """A chunk of speculative-walk iterations with DEVICE-side early exit:
+    a lax.while_loop over `sub`-length scans, so the whole chunk is ONE
+    dispatch and dead lanes stop costing gathers at `sub` granularity —
+    no host round-trip per sub-chunk (the host sync dominates wall-clock
+    through a remote-device tunnel).  Unexecuted iterations stay -1 in the
+    output (consumers already skip negative base codes)."""
+    w = state[0].shape[1]
+    bs = buckets.shape[1] // (w + 1)
+    mask = jnp.uint32(buckets.shape[0] - 1)
+    step = _spec_step_fn(buckets, k, num_steps, bs, mask)
+    n_sub = -(-chunk_len // sub)
+    out = jnp.full((n_sub * sub, state[0].shape[0]), -1, jnp.int8)
+
+    def cond(c):
+        i, st, _ = c
+        return (i < n_sub) & st[2].any()
+
+    def body(c):
+        i, st, out = c
+        st, bases = jax.lax.scan(step, st, None, length=sub)
+        out = jax.lax.dynamic_update_slice(out, bases, (i * sub, 0))
+        return (i + 1, st, out)
+
+    i, state, out = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), state, out))
+    return state, out, state[2].any(), i * sub
+
+
 # ---------------------------------------------------------------------------
 # run table: unitig-lookahead walks — many bases per gathered row
 # ---------------------------------------------------------------------------
@@ -514,6 +545,38 @@ def _run_chunk(buckets, runs, state, k: int, num_steps: int, chunk_len: int):
     return state, out, state[2].any()
 
 
+@partial(jax.jit, static_argnames=("k", "num_steps", "chunk_len", "sub"))
+def _run_chunk_device(buckets, runs, state, k: int, num_steps: int,
+                      chunk_len: int, sub: int):
+    """Run-jump twin of _spec_chunk_device: one dispatch covering up to
+    `chunk_len` iterations, early-exiting on device at `sub` granularity.
+    Unexecuted iterations stay 0 in the run words (run length 0 = no
+    bases, which decode_runs/replay_run_walk already treat as empty)."""
+    w = state[0].shape[1]
+    bs = buckets.shape[1] // (w + 1)
+    mask = jnp.uint32(buckets.shape[0] - 1)
+    step = _run_step_fn(buckets, runs, k, num_steps, bs, mask)
+    n_sub = -(-chunk_len // sub)
+    b = state[0].shape[0]
+    out0 = jnp.zeros((n_sub * sub, b), jnp.uint32)
+    out1 = jnp.zeros((n_sub * sub, b), jnp.uint32)
+
+    def cond(c):
+        i, st, _, _ = c
+        return (i < n_sub) & st[2].any()
+
+    def body(c):
+        i, st, out0, out1 = c
+        st, (w0, w1) = jax.lax.scan(step, st, None, length=sub)
+        out0 = jax.lax.dynamic_update_slice(out0, w0, (i * sub, 0))
+        out1 = jax.lax.dynamic_update_slice(out1, w1, (i * sub, 0))
+        return (i + 1, st, out0, out1)
+
+    i, state, out0, out1 = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), state, out0, out1))
+    return state, (out0, out1), state[2].any(), i * sub
+
+
 @partial(jax.jit, static_argnames=("k", "num_steps"))
 def walk_forward_runs(buckets, runs, seeds, k: int, num_steps: int):
     """Run-table walk: (run_w0 u32[T, B], run_w1 u32[T, B], cycled bool[B],
@@ -531,19 +594,24 @@ def walk_forward_runs(buckets, runs, seeds, k: int, num_steps: int):
 
 
 def walk_forward_runs_chunked(buckets, runs, seeds, k: int, num_steps: int,
-                              chunk: int = 32):
-    """walk_forward_runs with host-checked early exit between device chunks
-    (the run twin of walk_forward_spec_chunked)."""
+                              chunk: int = 512, sub: int = 8):
+    """walk_forward_runs with early exit (the run twin of
+    walk_forward_spec_chunked).  Each host-level chunk is ONE device
+    dispatch that internally while-loops over `sub`-length scans and stops
+    when every lane retires, so the host round-trip cost is paid once per
+    `chunk` iterations instead of once per `sub` — through a remote-device
+    tunnel the sync latency, not the gathers, dominated the old driver."""
     state = _spec_init(seeds)
     total = run_iters(num_steps)
     out0, out1 = [], []
     done = 0
     while done < total:
         length = min(chunk, total - done)
-        state, (w0, w1), any_active = _run_chunk(
-            buckets, runs, state, k, num_steps, length)
-        out0.append(np.asarray(w0))
-        out1.append(np.asarray(w1))
+        se = sub if length % sub == 0 else length
+        state, (w0, w1), any_active, _ = _run_chunk_device(
+            buckets, runs, state, k, num_steps, length, se)
+        out0.append(np.asarray(w0)[:length])
+        out1.append(np.asarray(w1)[:length])
         done += length
         if not bool(np.asarray(any_active)):
             break
@@ -551,17 +619,261 @@ def walk_forward_runs_chunked(buckets, runs, seeds, k: int, num_steps: int,
             np.asarray(state[4]), np.asarray(state[3]))
 
 
+# ---------------------------------------------------------------------------
+# jump table: pointer-chased unitig runs — one direct 16 B gather per jump
+# ---------------------------------------------------------------------------
+# The run table still pays a full hash lookup per jump (canonicalize + hash +
+# two 32 B rows + key compares, with ~10% stall iterations for secondary
+# buckets).  The jump table removes ALL of it: each (kmer, orientation) owns a
+# row in a dense [2N, 4]-word array holding its packed run AND the row index
+# of the kmer the run lands on, computed at build time.  After one initial
+# hash lookup for the seed, every jump is a single directly-addressed 16 B
+# gather — no canonicalization, no hashing, no key compares, no stalls — and
+# Brent cycle detection compares row ids (a bijection onto oriented kmers)
+# instead of 96-bit cursors.  Emissions use the identical packed-run format,
+# so decode_runs/replay_run_walk consume both kernels unchanged.
+
+_JUMP_END = np.uint32(0xFFFFFFFF)   # run ends the walk (branch/dead-end)
+
+
+@dataclass
+class JumpTable:
+    """rows: uint32[2N, 4] — row 2*i+d = (w0, w1, next_row, 0) for kmer i in
+    orientation d (0 = as stored/canonical, 1 = revcomp); w0/w1 are the
+    packed run words of _pack_runs, next_row = _JUMP_END unless the run is a
+    full RUN_MAX-base unitig run, in which case it is the row id of the
+    landing cursor.  `buckets` is a build_cuckoo(kmers, ids) table used once
+    per walk to resolve the seed to its row."""
+    buckets: np.ndarray
+    rows: np.ndarray
+    words: int
+
+
+def _pack_runs_jax(bases: jnp.ndarray, cycled: jnp.ndarray,
+                   steps: jnp.ndarray):
+    """Device twin of _pack_runs: bases int8[T, B] -> (w0, w1) uint32[B].
+    Each emitted base owns disjoint bits, so a masked-shift sum packs the
+    whole recording in one fused kernel — no host scatter."""
+    valid = bases >= 0
+    pos = jnp.cumsum(valid.astype(jnp.int32), axis=0) - 1
+    code = jnp.where(valid, bases, 0).astype(jnp.uint32)
+    sh0 = jnp.clip(22 - 2 * pos, 0, 31).astype(jnp.uint32)
+    sh1 = jnp.clip(46 - 2 * pos, 0, 31).astype(jnp.uint32)
+    w0 = jnp.sum(jnp.where(valid & (pos < 12), code << sh0, 0),
+                 axis=0, dtype=jnp.uint32)
+    w1 = jnp.sum(jnp.where(valid & (pos >= 12) & (pos < 24), code << sh1, 0),
+                 axis=0, dtype=jnp.uint32)
+    w0 = w0 | (steps.astype(jnp.uint32) << 24)
+    w0 = w0 | (cycled.astype(jnp.uint32) << 31)
+    return w0, w1
+
+
+@partial(jax.jit, static_argnames=("k", "rev"))
+def _jump_build_chunk(walk_buckets, ct_buckets, src, k: int, rev: bool):
+    """Record one chunk's runs + landing pointers entirely on device:
+    RUN_MAX-capped exact walks, packed run words, landing cursor advanced by
+    shift_append_multi, resolved to a row id through the id table."""
+    if rev:
+        src = kj.revcomp_words(src, k)
+    state = _spec_init(src)
+    state, bases, _, _ = _spec_chunk_device(
+        walk_buckets, state, k, RUN_MAX, spec_iters(RUN_MAX), 16)
+    steps, cycled = state[3], state[4]
+    w0, w1 = _pack_runs_jax(bases, cycled, steps)
+    hi24 = w0 & jnp.uint32(0x00FFFFFF)
+    lo24 = w1 & jnp.uint32(0x00FFFFFF)
+    nxt = kj.shift_append_multi(src, hi24, lo24, steps, k)
+    canon, flipped = kj.canonicalize_words(nxt, k)
+    w = src.shape[1]
+    land = lookup_payload(ct_buckets, canon, w)
+    present = lookup_tag(ct_buckets, canon, w)
+    land_row = 2 * land + flipped.astype(jnp.uint32)
+    full = (steps == RUN_MAX) & ((w0 >> jnp.uint32(31)) == 0) & present
+    ptr = jnp.where(full, land_row, _JUMP_END)
+    return w0, w1, ptr
+
+
+def build_jump_table(kmers: np.ndarray, edges: np.ndarray, k: int,
+                     load_factor: float = 0.5,
+                     chunk: int = 262144) -> JumpTable:
+    """Run table in pointer-jumping form.  Runs are recorded by the exact
+    speculative kernel (same as build_run_table); landing pointers are the
+    builder's cursor after each full run, resolved to row ids through the
+    seed-lookup table itself.  The whole recording pipeline runs on device;
+    only the final [B, 3] words come back per chunk."""
+    n, w = kmers.shape
+    ids = np.arange(n, dtype=np.uint32)
+    ct = build_cuckoo(kmers, ids, load_factor=load_factor,
+                      bucket_size=2, primary_bias=True)
+    walk_ct = build_walk_table(kmers, edges, load_factor=load_factor)
+    dev_buckets = jnp.asarray(walk_ct.buckets)
+    ct_buckets = jnp.asarray(ct.buckets)
+
+    rows = np.zeros((2 * n, 4), dtype=np.uint32)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        pad = chunk - (hi - lo)
+        sl = kmers[lo:hi]
+        if pad:   # keep one compiled shape for every chunk
+            sl = np.concatenate([sl, np.repeat(sl[:1], pad, axis=0)])
+        sl = jnp.asarray(np.ascontiguousarray(sl))
+        for d in (0, 1):
+            w0, w1, ptr = _jump_build_chunk(dev_buckets, ct_buckets, sl, k,
+                                            bool(d))
+            r = rows[2 * lo + d: 2 * hi: 2]
+            r[:, 0] = np.asarray(w0)[:hi - lo]
+            r[:, 1] = np.asarray(w1)[:hi - lo]
+            r[:, 2] = np.asarray(ptr)[:hi - lo]
+    return JumpTable(buckets=ct.buckets, rows=rows, words=w)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _jump_seed_rows(buckets, seeds, k: int):
+    """Resolve seed cursors to jump-table row ids (int32; negative = not in
+    graph).  One two-probe lookup — the only hashing a jump walk ever does."""
+    w = seeds.shape[1]
+    canon, flipped = kj.canonicalize_words(seeds, k)
+    payload = lookup_payload(buckets, canon, w)
+    tag = lookup_tag(buckets, canon, w)
+    row = (2 * payload.astype(jnp.int32)) + flipped.astype(jnp.int32)
+    return jnp.where(tag, row, -1)
+
+
+def lookup_tag(buckets: jnp.ndarray, canon: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Presence bit of the two-choice lookup (payload 0 is a valid id)."""
+    nb = buckets.shape[0]
+    bs = buckets.shape[1] // (w + 1)
+    mask = jnp.uint32(nb - 1)
+    h = kj.hash_words(canon)
+    idx = jnp.concatenate([h & mask, _jnp_h2(h) & mask]).astype(jnp.int32)
+    rows = buckets[idx].reshape(2, canon.shape[0], bs, w + 1)
+    tag = rows[..., w]
+    match = (tag >= jnp.uint32(0x80000000)) & jnp.all(
+        rows[..., :w] == canon[None, :, None, :], axis=-1)
+    return jnp.any(match, axis=(0, 2))
+
+
+def _jump_step_fn(rows, num_steps: int):
+    """One pointer jump.  State: (row, active, emitcnt, cycled, saved,
+    power, lam) — row/saved are int32 row ids."""
+
+    def step(state, _):
+        row, active, emitcnt, cycled, saved, power, lam = state
+        r = rows[jnp.maximum(row, 0)]                      # [B, 4]
+        r0, r1, ptr = r[:, 0], r[:, 1], r[:, 2]
+        run_len = ((r0 >> jnp.uint32(24)) & jnp.uint32(0x3F)).astype(jnp.int32)
+        run_cyc = (r0 >> jnp.uint32(31)) != 0
+
+        m = jnp.minimum(run_len, num_steps - emitcnt)
+        emit = active & (m > 0)
+        mm = jnp.where(emit, m, 0)
+        hi24 = r0 & jnp.uint32(0x00FFFFFF)
+        lo24 = r1 & jnp.uint32(0x00FFFFFF)
+
+        nxt = ptr.astype(jnp.int32)
+        has_next = emit & (m == run_len) & (ptr != _JUMP_END) & ~run_cyc
+        is_cycle = has_next & (nxt == saved)
+        # builder-detected cycles: flag when the full run is emitted, and
+        # also for zero-length immediately-cycling rows (run kernel parity)
+        ends_cycle = (emit & run_cyc & (m == run_len)) | (
+            active & run_cyc & (run_len == 0))
+        advance = has_next & ~is_cycle & (emitcnt + mm < num_steps)
+
+        e0 = jnp.where(emit, hi24 | (mm.astype(jnp.uint32) << 24),
+                       jnp.uint32(0))
+        e1 = jnp.where(emit, lo24, jnp.uint32(0))
+
+        teleport = (power == lam) & advance
+        saved = jnp.where(teleport, nxt, saved)
+        power = jnp.where(teleport, power * 2, power)
+        lam = jnp.where(teleport, 0, lam)
+        lam = jnp.where(advance, lam + 1, lam)
+
+        row = jnp.where(advance, nxt, row)
+        return (row, advance, emitcnt + mm,
+                cycled | is_cycle | ends_cycle, saved, power, lam), (e0, e1)
+
+    return step
+
+
+def _jump_init(seed_rows):
+    b = seed_rows.shape[0]
+    return (seed_rows, seed_rows >= 0, jnp.zeros(b, jnp.int32),
+            jnp.zeros(b, bool), seed_rows, jnp.ones(b, jnp.int32),
+            jnp.zeros(b, jnp.int32))
+
+
+def jump_iters(num_steps: int) -> int:
+    """Iteration ceiling: every executed jump emits >= 1 base (zero-run rows
+    retire the lane immediately), so num_steps + 1 covers the cap plus the
+    retiring iteration."""
+    return num_steps + 1
+
+
+@partial(jax.jit, static_argnames=("num_steps", "chunk_len", "sub"))
+def _jump_chunk_device(rows, state, num_steps: int, chunk_len: int, sub: int):
+    """chunk_len jump iterations in ONE dispatch, early-exiting on device at
+    `sub` granularity (see _spec_chunk_device)."""
+    step = _jump_step_fn(rows, num_steps)
+    n_sub = -(-chunk_len // sub)
+    b = state[0].shape[0]
+    out0 = jnp.zeros((n_sub * sub, b), jnp.uint32)
+    out1 = jnp.zeros((n_sub * sub, b), jnp.uint32)
+
+    def cond(c):
+        i, st, _, _ = c
+        return (i < n_sub) & st[1].any()
+
+    def body(c):
+        i, st, out0, out1 = c
+        st, (w0, w1) = jax.lax.scan(step, st, None, length=sub)
+        out0 = jax.lax.dynamic_update_slice(out0, w0, (i * sub, 0))
+        out1 = jax.lax.dynamic_update_slice(out1, w1, (i * sub, 0))
+        return (i + 1, st, out0, out1)
+
+    i, state, out0, out1 = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), state, out0, out1))
+    return state, (out0, out1), state[1].any(), i * sub
+
+
+def walk_forward_jumps_chunked(buckets, rows, seeds, k: int, num_steps: int,
+                               chunk: int = 512, sub: int = 4):
+    """Jump-table walk with the chunked early-exit driver.  Same outputs as
+    walk_forward_runs_chunked: (w0 [T, B], w1 [T, B], cycled, steps), decoded
+    by ops/walk_np.decode_runs / replay_run_walk."""
+    state = _jump_init(_jump_seed_rows(buckets, seeds, k))
+    total = jump_iters(num_steps)
+    out0, out1 = [], []
+    done = 0
+    while done < total:
+        length = min(chunk, total - done)
+        se = sub if length % sub == 0 else length
+        state, (w0, w1), any_active, _ = _jump_chunk_device(
+            rows, state, num_steps, length, se)
+        out0.append(np.asarray(w0)[:length])
+        out1.append(np.asarray(w1)[:length])
+        done += length
+        if not bool(np.asarray(any_active)):
+            break
+    return (np.concatenate(out0, axis=0), np.concatenate(out1, axis=0),
+            np.asarray(state[3]), np.asarray(state[2]))
+
+
 def walk_forward_spec_chunked(buckets, seeds, k: int, num_steps: int,
-                              chunk: int = 256):
-    """walk_forward_spec with host-checked early exit between device chunks.
+                              chunk: int = 2048, sub: int = 64):
+    """walk_forward_spec with early exit.
 
     Production walks run under a large safety cap (Partition defaults to a
     40 kb contig bound) but most walks die at their first junction, so a
-    fixed-length scan wastes almost all its iterations on dead lanes.  This
-    driver runs the same iteration in `chunk`-length device scans and stops
-    as soon as no lane is active (one scalar sync per chunk).  Returns the
-    same (bases [T, B], cycled, steps) with T <= spec_iters(num_steps)
-    truncated at the chunk where the last walk ended.
+    fixed-length scan wastes almost all its iterations on dead lanes.  Each
+    host-level chunk here is ONE device dispatch (_spec_chunk_device) that
+    internally while-loops over `sub`-length scans with a device-side
+    all-lanes-retired exit; the host checks liveness once per `chunk`
+    iterations.  Dead-lane compute stops at `sub` granularity while host
+    sync latency (the dominant cost through a remote-device tunnel) is paid
+    ~num_steps/chunk times.  Returns the same (bases [T, B], cycled, steps);
+    T <= spec_iters(num_steps) rounded up to the executed sub-chunks, with
+    unexecuted rows filled -1 (consumers skip negative codes).
     """
     state = _spec_init(seeds)
     total = spec_iters(num_steps)
@@ -569,9 +881,10 @@ def walk_forward_spec_chunked(buckets, seeds, k: int, num_steps: int,
     done = 0
     while done < total:
         length = min(chunk, total - done)
-        state, bases, any_active = _spec_chunk(buckets, state, k, num_steps,
-                                               length)
-        out.append(np.asarray(bases))
+        se = sub if length % sub == 0 else length
+        state, bases, any_active, _ = _spec_chunk_device(
+            buckets, state, k, num_steps, length, se)
+        out.append(np.asarray(bases)[:length])
         done += length
         if not bool(np.asarray(any_active)):
             break

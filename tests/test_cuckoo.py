@@ -287,3 +287,48 @@ def test_run_table_cap_and_chunked():
     for i, s in enumerate(seed_strs):
         assert (wnp.replay_run_walk(s, o0t[i], o1t[i], 300)
                 == wnp.replay_run_walk(s, c0t[i], c1t[i], 300))
+
+
+def test_jump_table_matches_run_table():
+    """Pointer-jumping kernel == run-table kernel: same steps, cycle flags,
+    and replayed contigs on a branchy two-sample graph, across caps that
+    clamp mid-run and caps that let walks die naturally."""
+    from corticall_tpu.ops import walk_np as wnp
+    rng = np.random.default_rng(23)
+    genome = "".join(rng.choice(list("ACGT"), 24000))
+    child = list(genome)
+    for pos in rng.integers(31, 24000 - 31, size=40):
+        child[pos] = "ACGT"[(ord(child[pos]) + 1) % 4]
+    g = fixtures.build_graph({"kid": ["".join(child)], "mom": [genome]}, 31)
+
+    rt = ck.build_run_table(g.kmers, g.edges[:, 0], 31)
+    jt = ck.build_jump_table(g.kmers, g.edges[:, 0], 31)
+    starts = rng.integers(0, 24000 - 31, size=96)
+    seed_strs = [genome[i:i + 31] for i in starts]
+    seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(seed_strs), 31))
+
+    for cap in (7, 300):
+        o0, o1, ocy, os_ = ck.walk_forward_runs(
+            jnp.asarray(rt.buckets), jnp.asarray(rt.runs), seeds, 31, cap)
+        j0, j1, jcy, js = ck.walk_forward_jumps_chunked(
+            jnp.asarray(jt.buckets), jnp.asarray(jt.rows), seeds, 31, cap,
+            chunk=13)
+        np.testing.assert_array_equal(np.asarray(os_), js)
+        np.testing.assert_array_equal(np.asarray(ocy), jcy)
+        o0t, o1t = np.asarray(o0).T, np.asarray(o1).T
+        j0t, j1t = j0.T, j1.T
+        for i, s in enumerate(seed_strs):
+            assert (wnp.replay_run_walk(s, o0t[i], o1t[i], cap)
+                    == wnp.replay_run_walk(s, j0t[i], j1t[i], cap))
+
+
+def test_jump_table_missing_seed_inactive():
+    g, genome, rng = _graph(29, 20000, 31)
+    jt = ck.build_jump_table(g.kmers, g.edges[:, 0], 31)
+    missing = "A" * 31
+    seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(
+        [genome[:31], missing]), 31))
+    w0, w1, cy, steps = ck.walk_forward_jumps_chunked(
+        jnp.asarray(jt.buckets), jnp.asarray(jt.rows), seeds, 31, 50)
+    assert steps[1] == 0 and not cy[1]
+    assert steps[0] > 0
