@@ -635,62 +635,91 @@ def walk_forward_runs_chunked(buckets, runs, seeds, k: int, num_steps: int,
 
 _JUMP_END = np.uint32(0xFFFFFFFF)   # run ends the walk (branch/dead-end)
 
+# bases per jump row: 12 in w0 + 12+4 in w1 + 16 in w3 (w2 is the pointer).
+# 44 bases/jump instead of the run table's 24 nearly halves the gathered
+# rows per emitted base on long unitigs.
+JUMP_MAX = 44
+
 
 @dataclass
 class JumpTable:
-    """rows: uint32[2N, 4] — row 2*i+d = (w0, w1, next_row, 0) for kmer i in
-    orientation d (0 = as stored/canonical, 1 = revcomp); w0/w1 are the
-    packed run words of _pack_runs, next_row = _JUMP_END unless the run is a
-    full RUN_MAX-base unitig run, in which case it is the row id of the
-    landing cursor.  `buckets` is a build_cuckoo(kmers, ids) table used once
-    per walk to resolve the seed to its row."""
+    """rows: uint32[2N, 4] — row 2*i+d = (w0, w1, next_row, w2) for kmer i
+    in orientation d (0 = as stored/canonical, 1 = revcomp).  Wide packed
+    run (JUMP_MAX = 44 bases, big-endian 2-bit fields):
+      w0 bits 23..0  = b0..b11,  bits 29..24 = run length, bit 31 = cycle
+      w1 bits 23..0  = b12..b23, bits 31..24 = b24..b27
+      w2 bits 31..0  = b28..b43
+    next_row = _JUMP_END unless the run is a full JUMP_MAX-base unitig run,
+    in which case it is the row id of the landing cursor.  `buckets` is a
+    build_cuckoo(kmers, ids) table used once per walk to resolve the seed
+    to its row."""
     buckets: np.ndarray
     rows: np.ndarray
     words: int
 
 
-def _pack_runs_jax(bases: jnp.ndarray, cycled: jnp.ndarray,
-                   steps: jnp.ndarray):
-    """Device twin of _pack_runs: bases int8[T, B] -> (w0, w1) uint32[B].
-    Each emitted base owns disjoint bits, so a masked-shift sum packs the
-    whole recording in one fused kernel — no host scatter."""
+def _pack_runs_wide_jax(bases: jnp.ndarray, cycled: jnp.ndarray,
+                        steps: jnp.ndarray):
+    """bases int8[T, B] -> wide run words (w0, w1, w2) uint32[B] in the
+    JumpTable layout.  Each emitted base owns disjoint bits, so a
+    masked-shift sum packs the whole recording in one fused kernel — no
+    host scatter."""
     valid = bases >= 0
     pos = jnp.cumsum(valid.astype(jnp.int32), axis=0) - 1
     code = jnp.where(valid, bases, 0).astype(jnp.uint32)
-    sh0 = jnp.clip(22 - 2 * pos, 0, 31).astype(jnp.uint32)
-    sh1 = jnp.clip(46 - 2 * pos, 0, 31).astype(jnp.uint32)
+    sh0 = jnp.clip(22 - 2 * pos, 0, 31).astype(jnp.uint32)   # b0..b11
+    sh1 = jnp.clip(46 - 2 * pos, 0, 31).astype(jnp.uint32)   # b12..b23
+    sh1b = jnp.clip(78 - 2 * pos, 0, 31).astype(jnp.uint32)  # b24..b27
+    sh2 = jnp.clip(86 - 2 * pos, 0, 31).astype(jnp.uint32)   # b28..b43
     w0 = jnp.sum(jnp.where(valid & (pos < 12), code << sh0, 0),
                  axis=0, dtype=jnp.uint32)
-    w1 = jnp.sum(jnp.where(valid & (pos >= 12) & (pos < 24), code << sh1, 0),
+    w1 = jnp.sum(jnp.where(valid & (pos >= 12) & (pos < 24), code << sh1, 0)
+                 | jnp.where(valid & (pos >= 24) & (pos < 28),
+                             code << sh1b, 0),
+                 axis=0, dtype=jnp.uint32)
+    w2 = jnp.sum(jnp.where(valid & (pos >= 28) & (pos < JUMP_MAX),
+                           code << sh2, 0),
                  axis=0, dtype=jnp.uint32)
     w0 = w0 | (steps.astype(jnp.uint32) << 24)
     w0 = w0 | (cycled.astype(jnp.uint32) << 31)
-    return w0, w1
+    return w0, w1, w2
+
+
+def _jump_advance(src, w0, w1, w2, steps, k: int):
+    """Advance cursors by up to JUMP_MAX recorded bases: two
+    shift_append_multi stages (<= 24 bases each)."""
+    hi24a = w0 & jnp.uint32(0x00FFFFFF)
+    lo24a = w1 & jnp.uint32(0x00FFFFFF)
+    m1 = jnp.minimum(steps, RUN_MAX)
+    nxt = kj.shift_append_multi(src, hi24a, lo24a, m1, k)
+    hi24b = (((w1 >> jnp.uint32(24)) & jnp.uint32(0xFF)) << jnp.uint32(16)
+             | ((w2 >> jnp.uint32(16)) & jnp.uint32(0xFFFF)))
+    lo24b = (w2 & jnp.uint32(0xFFFF)) << jnp.uint32(8)
+    m2 = jnp.maximum(steps - RUN_MAX, 0)
+    return kj.shift_append_multi(nxt, hi24b, lo24b, m2, k)
 
 
 @partial(jax.jit, static_argnames=("k", "rev"))
 def _jump_build_chunk(walk_buckets, ct_buckets, src, k: int, rev: bool):
     """Record one chunk's runs + landing pointers entirely on device:
-    RUN_MAX-capped exact walks, packed run words, landing cursor advanced by
-    shift_append_multi, resolved to a row id through the id table."""
+    JUMP_MAX-capped exact walks, packed run words, landing cursor advanced
+    by shift_append_multi, resolved to a row id through the id table."""
     if rev:
         src = kj.revcomp_words(src, k)
     state = _spec_init(src)
     state, bases, _, _ = _spec_chunk_device(
-        walk_buckets, state, k, RUN_MAX, spec_iters(RUN_MAX), 16)
+        walk_buckets, state, k, JUMP_MAX, spec_iters(JUMP_MAX), 16)
     steps, cycled = state[3], state[4]
-    w0, w1 = _pack_runs_jax(bases, cycled, steps)
-    hi24 = w0 & jnp.uint32(0x00FFFFFF)
-    lo24 = w1 & jnp.uint32(0x00FFFFFF)
-    nxt = kj.shift_append_multi(src, hi24, lo24, steps, k)
+    w0, w1, w2 = _pack_runs_wide_jax(bases, cycled, steps)
+    nxt = _jump_advance(src, w0, w1, w2, steps, k)
     canon, flipped = kj.canonicalize_words(nxt, k)
     w = src.shape[1]
     land = lookup_payload(ct_buckets, canon, w)
     present = lookup_tag(ct_buckets, canon, w)
     land_row = 2 * land + flipped.astype(jnp.uint32)
-    full = (steps == RUN_MAX) & ((w0 >> jnp.uint32(31)) == 0) & present
+    full = (steps == JUMP_MAX) & ((w0 >> jnp.uint32(31)) == 0) & present
     ptr = jnp.where(full, land_row, _JUMP_END)
-    return w0, w1, ptr
+    return w0, w1, w2, ptr
 
 
 def build_jump_table(kmers: np.ndarray, edges: np.ndarray, k: int,
@@ -700,7 +729,7 @@ def build_jump_table(kmers: np.ndarray, edges: np.ndarray, k: int,
     speculative kernel (same as build_run_table); landing pointers are the
     builder's cursor after each full run, resolved to row ids through the
     seed-lookup table itself.  The whole recording pipeline runs on device;
-    only the final [B, 3] words come back per chunk."""
+    only the final [B, 4] words come back per chunk."""
     n, w = kmers.shape
     ids = np.arange(n, dtype=np.uint32)
     ct = build_cuckoo(kmers, ids, load_factor=load_factor,
@@ -718,12 +747,13 @@ def build_jump_table(kmers: np.ndarray, edges: np.ndarray, k: int,
             sl = np.concatenate([sl, np.repeat(sl[:1], pad, axis=0)])
         sl = jnp.asarray(np.ascontiguousarray(sl))
         for d in (0, 1):
-            w0, w1, ptr = _jump_build_chunk(dev_buckets, ct_buckets, sl, k,
-                                            bool(d))
+            w0, w1, w2, ptr = _jump_build_chunk(dev_buckets, ct_buckets, sl,
+                                                k, bool(d))
             r = rows[2 * lo + d: 2 * hi: 2]
             r[:, 0] = np.asarray(w0)[:hi - lo]
             r[:, 1] = np.asarray(w1)[:hi - lo]
             r[:, 2] = np.asarray(ptr)[:hi - lo]
+            r[:, 3] = np.asarray(w2)[:hi - lo]
     return JumpTable(buckets=ct.buckets, rows=rows, words=w)
 
 
@@ -760,15 +790,13 @@ def _jump_step_fn(rows, num_steps: int):
     def step(state, _):
         row, active, emitcnt, cycled, saved, power, lam = state
         r = rows[jnp.maximum(row, 0)]                      # [B, 4]
-        r0, r1, ptr = r[:, 0], r[:, 1], r[:, 2]
+        r0, r1, ptr, r2 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
         run_len = ((r0 >> jnp.uint32(24)) & jnp.uint32(0x3F)).astype(jnp.int32)
         run_cyc = (r0 >> jnp.uint32(31)) != 0
 
         m = jnp.minimum(run_len, num_steps - emitcnt)
         emit = active & (m > 0)
         mm = jnp.where(emit, m, 0)
-        hi24 = r0 & jnp.uint32(0x00FFFFFF)
-        lo24 = r1 & jnp.uint32(0x00FFFFFF)
 
         nxt = ptr.astype(jnp.int32)
         has_next = emit & (m == run_len) & (ptr != _JUMP_END) & ~run_cyc
@@ -779,9 +807,12 @@ def _jump_step_fn(rows, num_steps: int):
             active & run_cyc & (run_len == 0))
         advance = has_next & ~is_cycle & (emitcnt + mm < num_steps)
 
-        e0 = jnp.where(emit, hi24 | (mm.astype(jnp.uint32) << 24),
-                       jnp.uint32(0))
-        e1 = jnp.where(emit, lo24, jnp.uint32(0))
+        # emitted wide run words: len field = emitted count (caps clamp it);
+        # decode reads only the first mm bases, so trailing bits pass through
+        e0 = jnp.where(emit, (r0 & jnp.uint32(0x00FFFFFF))
+                       | (mm.astype(jnp.uint32) << 24), jnp.uint32(0))
+        e1 = jnp.where(emit, r1, jnp.uint32(0))
+        e2 = jnp.where(emit, r2, jnp.uint32(0))
 
         teleport = (power == lam) & advance
         saved = jnp.where(teleport, nxt, saved)
@@ -791,7 +822,7 @@ def _jump_step_fn(rows, num_steps: int):
 
         row = jnp.where(advance, nxt, row)
         return (row, advance, emitcnt + mm,
-                cycled | is_cycle | ends_cycle, saved, power, lam), (e0, e1)
+                cycled | is_cycle | ends_cycle, saved, power, lam), (e0, e1, e2)
 
     return step
 
@@ -819,43 +850,47 @@ def _jump_chunk_device(rows, state, num_steps: int, chunk_len: int, sub: int):
     b = state[0].shape[0]
     out0 = jnp.zeros((n_sub * sub, b), jnp.uint32)
     out1 = jnp.zeros((n_sub * sub, b), jnp.uint32)
+    out2 = jnp.zeros((n_sub * sub, b), jnp.uint32)
 
     def cond(c):
-        i, st, _, _ = c
+        i, st, _, _, _ = c
         return (i < n_sub) & st[1].any()
 
     def body(c):
-        i, st, out0, out1 = c
-        st, (w0, w1) = jax.lax.scan(step, st, None, length=sub)
+        i, st, out0, out1, out2 = c
+        st, (w0, w1, w2) = jax.lax.scan(step, st, None, length=sub)
         out0 = jax.lax.dynamic_update_slice(out0, w0, (i * sub, 0))
         out1 = jax.lax.dynamic_update_slice(out1, w1, (i * sub, 0))
-        return (i + 1, st, out0, out1)
+        out2 = jax.lax.dynamic_update_slice(out2, w2, (i * sub, 0))
+        return (i + 1, st, out0, out1, out2)
 
-    i, state, out0, out1 = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), state, out0, out1))
-    return state, (out0, out1), state[1].any(), i * sub
+    i, state, out0, out1, out2 = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), state, out0, out1, out2))
+    return state, (out0, out1, out2), state[1].any(), i * sub
 
 
 def walk_forward_jumps_chunked(buckets, rows, seeds, k: int, num_steps: int,
                                chunk: int = 512, sub: int = 4):
-    """Jump-table walk with the chunked early-exit driver.  Same outputs as
-    walk_forward_runs_chunked: (w0 [T, B], w1 [T, B], cycled, steps), decoded
-    by ops/walk_np.decode_runs / replay_run_walk."""
+    """Jump-table walk with the chunked early-exit driver.  Returns
+    (w0 [T, B], w1 [T, B], w2 [T, B], cycled, steps) in the wide run-word
+    layout, decoded by ops/walk_np.decode_runs_wide / replay_run_walk_wide."""
     state = _jump_init(_jump_seed_rows(buckets, seeds, k))
     total = jump_iters(num_steps)
-    out0, out1 = [], []
+    out0, out1, out2 = [], [], []
     done = 0
     while done < total:
         length = min(chunk, total - done)
         se = sub if length % sub == 0 else length
-        state, (w0, w1), any_active, _ = _jump_chunk_device(
+        state, (w0, w1, w2), any_active, _ = _jump_chunk_device(
             rows, state, num_steps, length, se)
         out0.append(np.asarray(w0)[:length])
         out1.append(np.asarray(w1)[:length])
+        out2.append(np.asarray(w2)[:length])
         done += length
         if not bool(np.asarray(any_active)):
             break
     return (np.concatenate(out0, axis=0), np.concatenate(out1, axis=0),
+            np.concatenate(out2, axis=0),
             np.asarray(state[3]), np.asarray(state[2]))
 
 

@@ -91,6 +91,39 @@ def decode_runs(w0: np.ndarray, w1: np.ndarray) -> np.ndarray:
     return out
 
 
+def decode_runs_wide(w0: np.ndarray, w1: np.ndarray,
+                     w2: np.ndarray) -> np.ndarray:
+    """decode_runs for the wide (JUMP_MAX = 44) jump-table layout
+    (cuckoo.walk_forward_jumps_chunked): b0..b11 in w0 bits 23..0,
+    b12..b23 in w1 bits 23..0, b24..b27 in w1 bits 31..24, b28..b43 in w2;
+    w0 bits 29..24 = emitted length."""
+    w0 = np.asarray(w0, dtype=np.uint64)
+    w1 = np.asarray(w1, dtype=np.uint64)
+    w2 = np.asarray(w2, dtype=np.uint64)
+    m = ((w0 >> 24) & 0x3F).astype(np.int64)
+    total = int(m.sum())
+    starts = np.concatenate([[0], np.cumsum(m)[:-1]])
+    t_idx = np.repeat(np.arange(len(m)), m)
+    j = np.arange(total) - starts[t_idx]                # 0..m-1 within run
+    def sh(a):
+        return a.clip(0, 63).astype(np.uint64)
+    src = np.select(
+        [j < 12, j < 24, j < 28],
+        [w0[t_idx] >> sh(22 - 2 * j),
+         w1[t_idx] >> sh(46 - 2 * j),
+         w1[t_idx] >> sh(78 - 2 * j)],
+        default=w2[t_idx] >> sh(86 - 2 * j))
+    return (src & 0x3).astype(np.int8)
+
+
+def replay_run_walk_wide(seed: str, w0: np.ndarray, w1: np.ndarray,
+                         w2: np.ndarray,
+                         max_branch_length: int = 75000) -> str:
+    """replay_run_walk over a wide jump-kernel recording."""
+    bases = decode_runs_wide(w0, w1, w2)
+    return replay_walk(seed, bases, True, max_branch_length)
+
+
 def replay_run_walk(seed: str, w0: np.ndarray, w1: np.ndarray,
                     max_branch_length: int = 75000) -> str:
     """Exact walk extension from a run-kernel recording.

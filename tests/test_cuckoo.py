@@ -310,16 +310,17 @@ def test_jump_table_matches_run_table():
     for cap in (7, 300):
         o0, o1, ocy, os_ = ck.walk_forward_runs(
             jnp.asarray(rt.buckets), jnp.asarray(rt.runs), seeds, 31, cap)
-        j0, j1, jcy, js = ck.walk_forward_jumps_chunked(
+        j0, j1, j2, jcy, js = ck.walk_forward_jumps_chunked(
             jnp.asarray(jt.buckets), jnp.asarray(jt.rows), seeds, 31, cap,
             chunk=13)
         np.testing.assert_array_equal(np.asarray(os_), js)
         np.testing.assert_array_equal(np.asarray(ocy), jcy)
         o0t, o1t = np.asarray(o0).T, np.asarray(o1).T
-        j0t, j1t = j0.T, j1.T
+        j0t, j1t, j2t = j0.T, j1.T, j2.T
         for i, s in enumerate(seed_strs):
             assert (wnp.replay_run_walk(s, o0t[i], o1t[i], cap)
-                    == wnp.replay_run_walk(s, j0t[i], j1t[i], cap))
+                    == wnp.replay_run_walk_wide(s, j0t[i], j1t[i], j2t[i],
+                                                cap))
 
 
 def test_jump_table_missing_seed_inactive():
@@ -328,7 +329,7 @@ def test_jump_table_missing_seed_inactive():
     missing = "A" * 31
     seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(
         [genome[:31], missing]), 31))
-    w0, w1, cy, steps = ck.walk_forward_jumps_chunked(
+    w0, w1, w2, cy, steps = ck.walk_forward_jumps_chunked(
         jnp.asarray(jt.buckets), jnp.asarray(jt.rows), seeds, 31, 50)
     assert steps[1] == 0 and not cy[1]
     assert steps[0] > 0
