@@ -1402,8 +1402,14 @@ class Caller:
             out_vc = vc.copy()
             out_vc.rm_attrs(["novels"])
             out_vc.attr("CALL_ID", variant_id)
+            novels = vc.get_attr("novels", "")
+            # NOVEL_KMERS carries the event's novel-kmer support into the
+            # VCF so FilterCalls can apply the manuscript's FDR rule
+            # (reject events with <5 novel kmers; BASELINE.md FDR row)
+            out_vc.attr("NOVEL_KMERS",
+                        len(novels.split(",")) if novels else 0)
             final.append(out_vc)
-            for sk in vc.get_attr("novels", "").split(","):
+            for sk in novels.split(","):
                 if sk and sk in acct:
                     acct[sk] = cc_id
 

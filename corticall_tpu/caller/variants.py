@@ -109,6 +109,40 @@ class VariantSorterSet:
         return list(self)
 
 
+def read_vcf(path: str):
+    """Parse a corticall VCF back into Variant objects.  Returns
+    (variants, sequence_dict) where sequence_dict is [(name, length)] from
+    the ##contig header lines.  INFO keys land in the attribute map as
+    strings; FILTER values other than ./PASS become filters."""
+    variants = []
+    seq_dict = []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line.startswith("##contig=<"):
+                body = line[len("##contig=<"):-1]
+                kv = dict(p.split("=", 1) for p in body.split(",") if "=" in p)
+                seq_dict.append((kv.get("ID", "?"), int(kv.get("length", 0))))
+                continue
+            if line.startswith("#"):
+                continue
+            fields = line.split("\t")
+            chrom, pos, vid, ref, alt = fields[:5]
+            filt = fields[6] if len(fields) > 6 else "."
+            v = Variant(chrom, int(pos), 0, [ref] + alt.split(","),
+                        id_=None if vid == "." else vid)
+            if not v.is_symbolic():
+                v.compute_end_from_alleles()
+            for kv in (fields[7].split(";") if len(fields) > 7 else []):
+                if "=" in kv:
+                    kk, vv = kv.split("=", 1)
+                    v.attr(kk, vv)
+            if filt not in (".", "PASS"):
+                v.filters.update(filt.split(";"))
+            variants.append(v)
+    return variants, seq_dict
+
+
 def format_info(attributes: dict) -> str:
     if not attributes:
         return "."

@@ -433,6 +433,25 @@ def cmd_filter_partitions(args):
             f.write(f">{header}\n{seq}\n")
 
 
+def cmd_filter_calls(args):
+    """The manuscript's FDR protocol over a Call VCF (the reference ships
+    FilterCalls as an empty stub, FilterCalls.java:10-21; the rule lives in
+    the manuscript Methods — see caller/filter.py)."""
+    import json as _json
+    import sys as _sys
+    from ..caller.filter import filter_calls
+    from ..caller.variants import read_vcf, write_vcf
+    variants, seq_dict = read_vcf(args.vcf)
+    kept, rejected = filter_calls(
+        variants, min_novel_kmers=args.min_novel_kmers,
+        require_nahr_multibreakend=not args.no_nahr_rule)
+    write_vcf(args.out, kept, seq_dict)
+    print(_json.dumps({"input_calls": len(variants), "kept": len(kept),
+                       "rejected": len(rejected),
+                       "min_novel_kmers": args.min_novel_kmers}),
+          file=_sys.stderr)
+
+
 def cmd_coverage(args):
     from . import extra
     from ..io import fasta as faio
@@ -845,6 +864,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--roi", "-r", required=True)
     sp.add_argument("--novel_kmer_threshold", "-nt", type=int, default=5)
     sp.add_argument("--out", "-o", default="-")
+
+    sp = add("FilterCalls", cmd_filter_calls,
+             help="manuscript FDR filter: reject events with <N novel kmers")
+    sp.add_argument("--vcf", "-v", required=True)
+    sp.add_argument("--min_novel_kmers", "-m", type=int, default=5)
+    sp.add_argument("--no_nahr_rule", action="store_true",
+                    help="keep lone breakend pairs (skip the multi-breakend "
+                          "NAHR requirement)")
+    sp.add_argument("--out", "-o", required=True)
 
     sp = add("Coverage", cmd_coverage, help="per-kmer coverage along contigs")
     sp.add_argument("--graph", "-g", required=True)

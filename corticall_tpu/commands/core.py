@@ -476,7 +476,11 @@ def _batched_contigs(graph: gr.CortexGraph, color: int, cks: list,
             live = nxt_live
             done_steps += chunk
             chunk *= 4
-        return exts
+        # chunk-local seen-sets can leak an extra lap around cycles longer
+        # than one chunk; a final whole-extension replay is the oracle
+        from ..ops import walk_np as wnp
+        return [wnp.dedup_extension(s, e, max_walk)
+                for s, e in zip(seeds, exts)]
 
     rc = [km.revcomp(s) for s in cks]
     fwd = extend_all(cks)

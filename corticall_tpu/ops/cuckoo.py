@@ -652,7 +652,24 @@ class JumpTable:
     next_row = _JUMP_END unless the run is a full JUMP_MAX-base unitig run,
     in which case it is the row id of the landing cursor.  `buckets` is a
     build_cuckoo(kmers, ids) table used once per walk to resolve the seed
-    to its row."""
+    to its row.
+
+    Capacity: row ids are 2*payload+orientation carried as int32, capping
+    the graph at 2^30 kmers (vs the cuckoo payload's 2^31) — ample for the
+    Pf-scale target (~24M records) but NOT for human-scale graphs (~2.5G
+    kmers at k=47); those need uint32 row arithmetic plus a separate active
+    mask, or graph sharding (parallel/mesh.py).
+
+    Cycle caveat: Brent detection here compares row ids at jump (44-base)
+    stride, so a cycle of length L is detected after L/gcd(L,44) jumps —
+    within the step cap for short cycles, but a long cycle whose period
+    exceeds cap/JUMP_MAX jumps saturates `steps` at the cap with
+    cycled=False.  walk_forward_jumps_chunked therefore reports
+    cap-saturated lanes as potentially cyclic (`cycled | (steps ==
+    num_steps)` would over-flag; instead consumers get the separate
+    `saturated` mask) and replayed contigs stay exact regardless because
+    replay_run_walk_wide applies the reference seen-set rule to the
+    recorded bases."""
     buckets: np.ndarray
     rows: np.ndarray
     words: int
@@ -714,8 +731,7 @@ def _jump_build_chunk(walk_buckets, ct_buckets, src, k: int, rev: bool):
     nxt = _jump_advance(src, w0, w1, w2, steps, k)
     canon, flipped = kj.canonicalize_words(nxt, k)
     w = src.shape[1]
-    land = lookup_payload(ct_buckets, canon, w)
-    present = lookup_tag(ct_buckets, canon, w)
+    land, present = lookup_payload_tag(ct_buckets, canon, w)
     land_row = 2 * land + flipped.astype(jnp.uint32)
     full = (steps == JUMP_MAX) & ((w0 >> jnp.uint32(31)) == 0) & present
     ptr = jnp.where(full, land_row, _JUMP_END)
@@ -763,14 +779,15 @@ def _jump_seed_rows(buckets, seeds, k: int):
     graph).  One two-probe lookup — the only hashing a jump walk ever does."""
     w = seeds.shape[1]
     canon, flipped = kj.canonicalize_words(seeds, k)
-    payload = lookup_payload(buckets, canon, w)
-    tag = lookup_tag(buckets, canon, w)
+    payload, tag = lookup_payload_tag(buckets, canon, w)
     row = (2 * payload.astype(jnp.int32)) + flipped.astype(jnp.int32)
     return jnp.where(tag, row, -1)
 
 
-def lookup_tag(buckets: jnp.ndarray, canon: jnp.ndarray, w: int) -> jnp.ndarray:
-    """Presence bit of the two-choice lookup (payload 0 is a valid id)."""
+def lookup_payload_tag(buckets: jnp.ndarray, canon: jnp.ndarray, w: int):
+    """(payload uint32[B], present bool[B]) from ONE two-row gather — the
+    fused form of lookup_payload + lookup_tag for callers that need both
+    (payload 0 is a valid id, so presence needs its own bit)."""
     nb = buckets.shape[0]
     bs = buckets.shape[1] // (w + 1)
     mask = jnp.uint32(nb - 1)
@@ -780,7 +797,14 @@ def lookup_tag(buckets: jnp.ndarray, canon: jnp.ndarray, w: int) -> jnp.ndarray:
     tag = rows[..., w]
     match = (tag >= jnp.uint32(0x80000000)) & jnp.all(
         rows[..., :w] == canon[None, :, None, :], axis=-1)
-    return jnp.any(match, axis=(0, 2))
+    payload = jnp.max(jnp.where(match, tag & jnp.uint32(0x7FFFFFFF), 0),
+                      axis=(0, 2))
+    return payload, jnp.any(match, axis=(0, 2))
+
+
+def lookup_tag(buckets: jnp.ndarray, canon: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Presence bit of the two-choice lookup (payload 0 is a valid id)."""
+    return lookup_payload_tag(buckets, canon, w)[1]
 
 
 def _jump_step_fn(rows, num_steps: int):
@@ -872,8 +896,16 @@ def _jump_chunk_device(rows, state, num_steps: int, chunk_len: int, sub: int):
 def walk_forward_jumps_chunked(buckets, rows, seeds, k: int, num_steps: int,
                                chunk: int = 512, sub: int = 4):
     """Jump-table walk with the chunked early-exit driver.  Returns
-    (w0 [T, B], w1 [T, B], w2 [T, B], cycled, steps) in the wide run-word
-    layout, decoded by ops/walk_np.decode_runs_wide / replay_run_walk_wide."""
+    (w0 [T, B], w1 [T, B], w2 [T, B], cycled, steps, saturated) in the wide
+    run-word layout, decoded by ops/walk_np.decode_runs_wide /
+    replay_run_walk_wide.
+
+    `saturated` marks lanes still active when `steps` hit the num_steps cap:
+    the lane may sit on an undetected cycle (jump-stride Brent needs
+    L/gcd(L, JUMP_MAX) jumps to close a cycle of length L — see the
+    JumpTable docstring), so `cycled` is only authoritative for
+    non-saturated lanes.  Replayed contigs are exact either way
+    (replay_run_walk_wide applies the reference seen-set rule)."""
     state = _jump_init(_jump_seed_rows(buckets, seeds, k))
     total = jump_iters(num_steps)
     out0, out1, out2 = [], [], []
@@ -889,9 +921,11 @@ def walk_forward_jumps_chunked(buckets, rows, seeds, k: int, num_steps: int,
         done += length
         if not bool(np.asarray(any_active)):
             break
+    steps = np.asarray(state[2])
+    saturated = (steps >= num_steps) & ~np.asarray(state[3])
     return (np.concatenate(out0, axis=0), np.concatenate(out1, axis=0),
             np.concatenate(out2, axis=0),
-            np.asarray(state[3]), np.asarray(state[2]))
+            np.asarray(state[3]), steps, saturated)
 
 
 def walk_forward_spec_chunked(buckets, seeds, k: int, num_steps: int,

@@ -138,6 +138,19 @@ def replay_run_walk(seed: str, w0: np.ndarray, w1: np.ndarray,
     return replay_walk(seed, bases, True, max_branch_length)
 
 
+def dedup_extension(seed: str, ext: str,
+                    max_branch_length: int = 75000) -> str:
+    """Apply the reference seen-set rule to an extension assembled across
+    multiple growing-round chunks (commands/core._batched_contigs): each
+    chunk replays with only its own seen state, so a cycle longer than one
+    chunk can contribute up to an extra lap before Brent catches it.  One
+    final whole-extension replay restores the host-oracle answer."""
+    if not ext:
+        return ext
+    codes = km.string_to_codes_permissive(ext).astype(np.int8)
+    return replay_walk(seed, codes, True, max_branch_length)
+
+
 def replay_walk(seed: str, bases: np.ndarray, cycled: bool,
                 max_branch_length: int = 75000) -> str:
     """Rebuild the walked extension with the reference's exact stopping rule.
@@ -154,7 +167,13 @@ def replay_walk(seed: str, bases: np.ndarray, cycled: bool,
     arr = np.asarray(bases)
     lut = np.frombuffer(b"ACGT", dtype=np.uint8)
     ext = lut[arr[arr >= 0]].tobytes().decode()
-    if not cycled:
+    if not cycled and len(ext) < max_branch_length:
+        # cap-saturated recordings fall through to the seen-set path even
+        # with cycled=False: kernel Brent (power-of-two windows) can miss a
+        # cycle of length L until ~2^ceil(log2 L)+L steps, so a walk that
+        # filled the whole cap may hide an undetected revisit — the seen-set
+        # replay returns the host-oracle answer either way and is a no-op on
+        # genuinely linear truncated walks (ADVICE r03 / jump-cycle audit).
         return ext
 
     # successor map from the recorded path (covers the full cycle: Brent's

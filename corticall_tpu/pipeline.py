@@ -215,7 +215,13 @@ def run_pipeline(workdir: str, reads_by_sample: dict, child: str,
                 excluded.append(e)
             out = core.remove(rois, [e for e in excluded if e.num_records])
             ctxio.write_ctx(path, out.data)
-            return out, {"excluded": per, "kept": out.num_records,
+            # per-filter counts overlap (a kmer can be both a tip and
+            # low-coverage), so the union is reported explicitly and the
+            # accounting reconciles: kept = roi_before - excluded_union
+            return out, {"excluded": per,
+                         "excluded_union": rois.num_records - out.num_records,
+                         "roi_before": rois.num_records,
+                         "kept": out.num_records,
                          "removed": rois.num_records - out.num_records}
         rois = pl.stage("prefilter", ["rois.filtered.ctx"],
                         compute_pf, _read_graph)
@@ -259,9 +265,30 @@ def run_pipeline(workdir: str, reads_by_sample: dict, child: str,
         "call", ["calls.vcf", "accounting.txt"], compute_call,
         lambda vp, ap: _load_vcf_variants(vp))
 
+    # ---- FilterCalls: the manuscript FDR protocol (caller/filter.py) -------
+    def compute_filter(path):
+        from .caller.filter import filter_calls
+        from .caller.variants import write_vcf
+        kept, rejected = filter_calls(variants)
+        sd, seen = [], set()
+        for rid, ir in (references or {}).items():
+            for name, seq in ir.seqs.items():
+                if name not in seen:
+                    sd.append((name, len(seq)))
+                    seen.add(name)
+            if f"{rid}_unknown" not in seen:
+                sd.append((f"{rid}_unknown", len(parts_t)))
+                seen.add(f"{rid}_unknown")
+        write_vcf(path, kept, sd)
+        return kept, {"input_calls": len(variants), "kept": len(kept),
+                      "rejected": len(rejected)}
+    filtered = pl.stage("filter_calls", ["calls.filtered.vcf"],
+                        compute_filter, _load_vcf_variants)
+
     return {
         "graph": joined, "rois": rois, "links": links,
         "partitions": parts_t, "variants": variants,
+        "filtered_variants": filtered,
         "stages": {n: pl.state.seconds(n) for n in pl.state.data["stages"]},
         "stats": {n: pl.state.stats(n) for n in pl.state.data["stages"]},
         "workdir": workdir,

@@ -6,8 +6,9 @@ link-assisted junction resolution, bidirectional assemble bounded by
 maxBranchLength, and recursive DFS with per-branch stopping rules, repeat
 copy-indices under links, and recruitment-color fallback.
 
-This is the sequential correctness oracle; the batched device engine
-(ops/traversal.py) is validated against it and used for throughput.
+This is the sequential correctness oracle; the batched device kernels
+(ops/walk.py, ops/cuckoo.py, ops/walk_links.py) are validated against it and
+used for throughput.
 """
 
 from __future__ import annotations

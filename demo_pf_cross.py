@@ -162,8 +162,10 @@ def evaluate(variants, truth, mom, dad, k, recombs=None):
     for ci, cv in enumerate(nonsym):
         if ci in matched_calls:
             continue
-        novels = cv.get_attr("novels") or ""
-        n_novels = len(novels.split(",")) if novels else 0
+        try:
+            n_novels = int(cv.get_attr("NOVEL_KMERS") or 0)
+        except (TypeError, ValueError):
+            n_novels = 0
         near_xover = any(abs(cv.start - b) <= 150
                          for b in boundaries.get(cv.chrom, ()))
         if near_xover:
@@ -290,6 +292,8 @@ def run_reads_pipeline(res, mom, dad, truth, k, coverage, read_len, err,
                             if kk.startswith(("link_", "overflow"))},
         "partitions": len(result["partitions"]),
         "calls": len(variants),
+        "calls_after_fdr_filter": len(result.get("filtered_variants") or []),
+        "filter_calls": stats.get("filter_calls", {}),
         "truth_recovered": ev["strict_recovered"],
         "strict_by_type": ev["strict_by_type"],
         "kmer_venn": ev["kmer_venn"],

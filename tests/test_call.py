@@ -195,3 +195,77 @@ def test_device_tesserae_identical_vcf():
                        sorted(v.filters), v.get_attr("CALL_FUNC"))
                       for v in variants]
     assert outs["host"] == outs["device"] and outs["host"]
+
+
+def test_filter_calls_fdr(tmp_path):
+    """FilterCalls: the manuscript FDR protocol (caller/filter.py) over a
+    written VCF — NOVEL_KMERS emission, <5-kmer rejection, BND mate/
+    multi-breakend handling, CLI round trip."""
+    from corticall_tpu.caller.filter import filter_calls
+    from corticall_tpu.caller.variants import Variant, read_vcf, write_vcf
+
+    def v(chrom, pos, alleles, nk, id_=None, **attrs):
+        var = Variant(chrom, pos, pos, alleles, id_=id_,
+                      attributes={"NOVEL_KMERS": nk, **attrs})
+        if not var.is_symbolic():
+            var.compute_end_from_alleles()
+        return var
+
+    snv_strong = v("chr1", 100, ["A", "C"], 8)
+    snv_weak = v("chr1", 300, ["G", "T"], 2)
+    # lone breakend pair (one pair = no multi-breakend support)
+    b0 = v("chr1", 500, ["A", "A[chr2:9]["], 9, id_="b0",
+           SVTYPE="BND", MATEID="b1", PARTITION_NAME="p1")
+    b1 = v("chr1", 600, ["C", "]chr2:5]C"], 9, id_="b1",
+           SVTYPE="BND", MATEID="b0", PARTITION_NAME="p1")
+    # double pair in one partition (NAHR-grade support)
+    quad = [v("chr2", 100 + i, ["A", "A[chr3:1["], 9, id_=f"q{i}",
+              SVTYPE="BND", MATEID=f"q{i ^ 1}", PARTITION_NAME="p2")
+            for i in range(4)]
+    # strong BND pair whose mate fails the kmer rule -> both drop
+    m0 = v("chr3", 100, ["A", "A[chr4:1["], 9, id_="m0",
+           SVTYPE="BND", MATEID="m1", PARTITION_NAME="p3")
+    m1 = v("chr3", 200, ["C", "]chr4:2]C"], 1, id_="m1",
+           SVTYPE="BND", MATEID="m0", PARTITION_NAME="p3")
+    m2 = [v("chr3", 300 + i, ["A", "A[chr4:9["], 9, id_=f"n{i}",
+            SVTYPE="BND", MATEID=f"n{i ^ 1}", PARTITION_NAME="p3")
+          for i in range(2)]
+
+    allv = [snv_strong, snv_weak, b0, b1, *quad, m0, m1, *m2]
+    kept, rejected = filter_calls(allv)
+    kept_ids = {(x.chrom, x.start) for x in kept}
+    assert ("chr1", 100) in kept_ids          # strong SNV survives
+    assert ("chr1", 300) not in kept_ids      # <5 novel kmers
+    assert ("chr1", 500) not in kept_ids      # lone pair: no NAHR support
+    for i in range(4):
+        assert ("chr2", 100 + i) in kept_ids  # double pair survives
+    assert ("chr3", 100) not in kept_ids      # mate failed the kmer rule
+    assert ("chr3", 200) not in kept_ids
+    # mate-following must not resurrect: without the NAHR rule the lone
+    # pair survives but the weak-mate pair still drops
+    kept2, _ = filter_calls(allv, require_nahr_multibreakend=False)
+    ids2 = {(x.chrom, x.start) for x in kept2}
+    assert ("chr1", 500) in ids2 and ("chr3", 100) not in ids2
+
+    # VCF round trip: NOVEL_KMERS arrives as a string and still filters
+    p = tmp_path / "calls.vcf"
+    write_vcf(p, allv, [("chr1", 1000), ("chr2", 1000), ("chr3", 1000)])
+    rt, sd = read_vcf(p)
+    assert sd[0] == ("chr1", 1000) and len(rt) == len(allv)
+    kept3, _ = filter_calls(rt)
+    assert {(x.chrom, x.start) for x in kept3} == kept_ids
+
+
+def test_write_outputs_emits_novel_kmers(tmp_path):
+    rng = np.random.default_rng(41)
+    parent = _genome(rng, 1200)
+    pos = 500
+    alt = "ACGT"[("ACGT".index(parent[pos]) + 2) % 4]
+    child = parent[:pos] + alt + parent[pos + 1:]
+    g, rois, parts, refs = make_trio(child, parent)
+    caller = Caller(g, rois, parts, backgrounds=["mom", "dad"],
+                    references=refs)
+    final, _ = caller.write_outputs(tmp_path / "c.vcf", tmp_path / "a.txt")
+    assert final and all(int(v.get_attr("NOVEL_KMERS", 0)) > 0
+                         for v in final)
+    assert "NOVEL_KMERS=" in (tmp_path / "c.vcf").read_text()

@@ -310,7 +310,7 @@ def test_jump_table_matches_run_table():
     for cap in (7, 300):
         o0, o1, ocy, os_ = ck.walk_forward_runs(
             jnp.asarray(rt.buckets), jnp.asarray(rt.runs), seeds, 31, cap)
-        j0, j1, j2, jcy, js = ck.walk_forward_jumps_chunked(
+        j0, j1, j2, jcy, js, _ = ck.walk_forward_jumps_chunked(
             jnp.asarray(jt.buckets), jnp.asarray(jt.rows), seeds, 31, cap,
             chunk=13)
         np.testing.assert_array_equal(np.asarray(os_), js)
@@ -329,7 +329,48 @@ def test_jump_table_missing_seed_inactive():
     missing = "A" * 31
     seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(
         [genome[:31], missing]), 31))
-    w0, w1, w2, cy, steps = ck.walk_forward_jumps_chunked(
+    w0, w1, w2, cy, steps, sat = ck.walk_forward_jumps_chunked(
         jnp.asarray(jt.buckets), jnp.asarray(jt.rows), seeds, 31, 50)
     assert steps[1] == 0 and not cy[1]
     assert steps[0] > 0
+
+
+def test_jump_table_cycles():
+    """Cyclic graphs through the jump kernel (the run-table cycle cases):
+    cycle lengths that are and are not multiples of JUMP_MAX, plus a cycle
+    whose jump period exceeds the cap — that lane must be flagged
+    `saturated` and its replayed contig must still be the exact seen-set
+    answer (ADVICE r03: jump-stride Brent misses cycles with period
+    L/gcd(L, JUMP_MAX) > cap/JUMP_MAX jumps)."""
+    from corticall_tpu.ops import walk_np as wnp
+    k = 31
+    rng = np.random.default_rng(5)
+    cases = {}
+    # multiple of JUMP_MAX (44): detected by builder/jump Brent quickly
+    cases["cycle_616"] = "".join(rng.choice(list("ACGT"), 616))
+    # NOT a multiple of 44: gcd(600, 44)=4 -> period 150 jumps
+    cases["cycle_600"] = "".join(rng.choice(list("ACGT"), 600))
+    # short cycle, not a multiple: gcd(90,44)=2 -> period 45 jumps
+    cases["cycle_90"] = "".join(rng.choice(list("ACGT"), 90))
+    for name, cyc in cases.items():
+        hap = cyc + cyc[:k]                    # circular chromosome
+        g = fixtures.build_graph({"s": [hap]}, k)
+        if g.num_records != len(cyc):
+            continue                           # rare collision; skip case
+        ct = ck.build_walk_table(g.kmers, g.edges[:, 0])
+        jt = ck.build_jump_table(g.kmers, g.edges[:, 0], k)
+        seed_strs = [hap[:k], hap[7:7 + k]]
+        seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(seed_strs), k))
+        for cap in (3000, len(cyc) + 50):
+            j0, j1, j2, jcy, js, jsat = ck.walk_forward_jumps_chunked(
+                jnp.asarray(jt.buckets), jnp.asarray(jt.rows), seeds, k, cap)
+            sb, sc, ss = ck.walk_forward_spec_chunked(
+                jnp.asarray(ct.buckets), seeds, k, cap)
+            j0t, j1t, j2t, sbt = j0.T, j1.T, j2.T, np.asarray(sb).T
+            for i, s in enumerate(seed_strs):
+                got = wnp.replay_run_walk_wide(s, j0t[i], j1t[i], j2t[i], cap)
+                want = wk.replay_walk(s, sbt[i], bool(sc[i]), cap)
+                assert got == want, (name, cap, s)
+                # every lane is on a cycle: it must be either detected
+                # (cycled) or flagged potentially-cyclic (saturated)
+                assert bool(jcy[i]) or bool(jsat[i]), (name, cap, s)

@@ -4,11 +4,12 @@ _NATIVE_LINK_THRESHOLD (commands/core.py) routes linked Partition to the C++
 exact walker below a seed count and to the device kernel above it; the
 round-2 threshold (65536) was a guess.  This tool times both walkers on a
 Pf-scale graph + real threaded links at 4k/16k/64k/256k seeds and prints one
-JSON line per point so the crossover is chosen from data (committed as
-LINKBENCH_r03.json).
+JSON line per point so the crossover is chosen from data; the measured
+artifact is committed as LINKBENCH_r04.json and _NATIVE_LINK_THRESHOLD
+cites it.
 
 Usage:
-  PF_WORKDIR=/tmp/pf_flagship_r03_run2 python tools/bench_link_threshold.py
+  PF_WORKDIR=/tmp/pf_demo_work python tools/bench_link_threshold.py
 The workdir must contain joined.ctx and kid.ctp.bgz (a completed reads-mode
 demo run).  Runs on whatever backend jax selects (the TPU in production).
 """

@@ -90,7 +90,16 @@ def main():
     out = {
         "metric": "sharded_walk_weak_scaling",
         "mesh": "virtual CPU devices (one host; collectives are memcpy, "
-                "not ICI — validates sharding overheads, not interconnect)",
+                "not ICI — validates sharding overheads, not interconnect). "
+                "CAVEAT: all virtual devices share this host's physical "
+                "cores (single-device XLA already uses them all), so "
+                "per-device throughput is compute-starved ~n/cores x before "
+                "any sharding overhead; treat rows as a correctness+overhead "
+                "record, not a scaling projection.  Real projection requires "
+                "real chips (the driver dryrun validates the sharded program "
+                "compiles+executes; MULTIHOST artifacts validate 2-process "
+                "jax.distributed execution).",
+        "host_physical_cores": os.cpu_count(),
         "per_device": {"bases": 200_000, "batch": 4096, "steps": 256},
         "rows": rows,
     }
