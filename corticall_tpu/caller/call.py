@@ -137,6 +137,11 @@ class Caller:
         return {self.rois_graph.kmer_string(i)
                 for i in range(self.rois_graph.num_records)}
 
+    def _roi_coverage(self, canon: str) -> int:
+        """Child coverage of a novel kmer (rois carry the child color)."""
+        i = self.rois_graph.find_record(canon)
+        return int(self.rois_graph.coverages[i, 0]) if i >= 0 else 0
+
     def load_child_walk(self, contig: str) -> list:
         w = []
         seen: dict = {}
@@ -402,7 +407,16 @@ class Caller:
                 if actual_start is None:
                     actual_start = 0
                 if actual_end == -1 or actual_end == actual_start:
-                    actual_end = len(w) - 1
+                    # the reference keeps the walk's entire tail here
+                    # (Call.java:2210: actualEnd = w.size()-1), which lets a
+                    # single-shared-kmer component carry a multi-10kb
+                    # closeGaps detour into the Tesserae DP (observed: a
+                    # 32 kb target -> 69 GB device DP; the reference's own
+                    # 8 GiB JVM would OOM equally).  Deliberate deviation:
+                    # clamp the tail to section length + 2*window — ample
+                    # candidate-haplotype context for any section variant.
+                    actual_end = min(len(w) - 1,
+                                     actual_start + len(ws) + 2 * self.window)
                 if shared > 0:
                     contigs.add(to_contig(w[actual_start:actual_end]))
 
@@ -1405,9 +1419,17 @@ class Caller:
             novels = vc.get_attr("novels", "")
             # NOVEL_KMERS carries the event's novel-kmer support into the
             # VCF so FilterCalls can apply the manuscript's FDR rule
-            # (reject events with <5 novel kmers; BASELINE.md FDR row)
-            out_vc.attr("NOVEL_KMERS",
-                        len(novels.split(",")) if novels else 0)
+            # (reject events with <5 novel kmers; BASELINE.md FDR row);
+            # NOVEL_KMER_COV (median child coverage over those kmers) powers
+            # the depth-relative noise filter — the low-depth analog of the
+            # reference's `mccortex clean -m 10` at 75-100x
+            # (Simulate.wdl:620-666): recurrent-read-error chains sit near
+            # the cleaning threshold, real DNM chains near full depth
+            nlist = [s for s in novels.split(",") if s]
+            out_vc.attr("NOVEL_KMERS", len(nlist))
+            if nlist:
+                covs = sorted(self._roi_coverage(s) for s in nlist)
+                out_vc.attr("NOVEL_KMER_COV", covs[len(covs) // 2])
             final.append(out_vc)
             for sk in novels.split(","):
                 if sk and sk in acct:

@@ -442,9 +442,17 @@ def cmd_filter_calls(args):
     from ..caller.filter import filter_calls
     from ..caller.variants import read_vcf, write_vcf
     variants, seq_dict = read_vcf(args.vcf)
+    references = {}
+    for spec in (args.references or []):
+        name, path = spec.split(":", 1)
+        from ..models.reference_index import IndexedReference
+        from ..io import fasta as faio
+        references[name] = IndexedReference(dict(faio.read_fasta(path)))
     kept, rejected = filter_calls(
         variants, min_novel_kmers=args.min_novel_kmers,
-        require_nahr_multibreakend=not args.no_nahr_rule)
+        require_nahr_multibreakend=not args.no_nahr_rule,
+        min_novel_coverage=args.min_novel_coverage,
+        references=references or None)
     write_vcf(args.out, kept, seq_dict)
     print(_json.dumps({"input_calls": len(variants), "kept": len(kept),
                        "rejected": len(rejected),
@@ -869,9 +877,17 @@ def build_parser() -> argparse.ArgumentParser:
              help="manuscript FDR filter: reject events with <N novel kmers")
     sp.add_argument("--vcf", "-v", required=True)
     sp.add_argument("--min_novel_kmers", "-m", type=int, default=5)
+    sp.add_argument("--min_novel_coverage", "-mc", type=int, default=0,
+                    help="reject events whose median novel-kmer coverage "
+                         "is below this (0 = off; depth-relative noise "
+                         "guard, see caller/filter.py)")
     sp.add_argument("--no_nahr_rule", action="store_true",
                     help="keep lone breakend pairs (skip the multi-breakend "
                           "NAHR requirement)")
+    sp.add_argument("--references", "-R", action="append",
+                    help="name:fasta parental drafts; calls whose variant "
+                         "haplotype occurs exactly in a draft are rejected "
+                         "as inherited (parent-graph coverage dropouts)")
     sp.add_argument("--out", "-o", required=True)
 
     sp = add("Coverage", cmd_coverage, help="per-kmer coverage along contigs")

@@ -575,20 +575,30 @@ def _greedy_emit(cks: list, contigs: dict, roi: gr.CortexGraph, k: int) -> list:
 
 
 # linked Partition routes through the native C++ walker (exact unbounded
-# LinkStore, no compile) at or below this seed count; above it the batched
-# device kernel amortizes its XLA compile.  Tests set -1 to force the device.
-_NATIVE_LINK_THRESHOLD = 65536
+# LinkStore, no compile) at or below this seed count; above it the device
+# jump-table path (link-free jump walks + exact linked replay of the walks
+# that touch link-carrying kmers) amortizes its build+compile.  Set from the
+# measured crossover in LINKBENCH_r04.json; tests set -1 to force the device.
+_NATIVE_LINK_THRESHOLD = 4096
 
 
 def _partition_links_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
                             links: list, max_walk: int,
                             stats: dict | None = None,
                             checkpoint: str | None = None,
-                            chunk: int = 16384) -> list:
+                            chunk: int = 65536) -> list:
     """Partition with link-assisted walks (the production linked
-    configuration; Simulate.wdl threads links before Partition/Call): the
-    native exact walker for small batches, the fixed-capacity device kernel
-    (ops/walk_links.py) with native/host overflow replay beyond."""
+    configuration; Simulate.wdl threads links before Partition/Call).
+
+    Strategy: links only ever EXTEND a walk past its link-free stop point,
+    and only when a kmer on the walked path carries link records — so the
+    batched jump-table kernel (the bench headline kernel) walks every seed
+    link-free on device, and only the walks whose path intersects the
+    link-key set are re-walked by the exact native walker (unbounded
+    LinkStore; host engine fallback).  Same filter the Call stage's
+    chain-walk batching uses (caller/call._batched_chain_exts).  Below
+    _NATIVE_LINK_THRESHOLD seeds the native walker runs everything — at
+    small batches its zero compile cost wins (LINKBENCH_r04.json)."""
     from ..utils import checkpoint as ckpt
     from .. import native as nat
 
@@ -598,78 +608,126 @@ def _partition_links_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
         return []
     child_color = graph.color_for_sample(roi.sample_name(0))
 
-    use_native = nat.available() and len(cks) <= _NATIVE_LINK_THRESHOLD
-    native_walker = (nat.LinksWalkerNative(graph, [child_color], links)
-                     if use_native else None)
-    if native_walker is None:
-        from ..ops import walk_links as wl
+    use_native_only = nat.available() and len(cks) <= _NATIVE_LINK_THRESHOLD
 
-    def assemble_chunk(seeds):
-        if native_walker is not None:
-            f, jf = native_walker.walk(seeds, max_walk)
-            rcs = [km.revcomp(s) for s in seeds]
-            bk, jb = native_walker.walk(rcs, max_walk)
-            cl = [(km.revcomp(bb) if bb else "") + s + ff
-                  for s, ff, bb in zip(seeds, f, bk)]
-            return cl, np.zeros(len(seeds), bool), jf + jb
-        return walker.assemble(seeds, num_steps=max_walk)
+    def native_assemble(walker, seeds):
+        f, jf = walker.walk(seeds, max_walk)
+        rcs = [km.revcomp(s) for s in seeds]
+        bk, jb = walker.walk(rcs, max_walk)
+        return [(km.revcomp(bb) if bb else "") + s + ff
+                for s, ff, bb in zip(seeds, f, bk)], jf + jb
 
-    fp = ckpt.graph_fingerprint(graph) if checkpoint else ""
-    start_at = 0
-    contig_list: list = []
-    overflow = np.zeros(0, dtype=bool)
-    junctions = np.zeros(0, dtype=np.int64)
-    if checkpoint:
-        saved = ckpt.load_chunk_state(checkpoint, fp)
-        if saved is not None:
-            start_at, payload = saved
-            contig_list = payload["contigs"]
-            overflow = np.asarray(payload["overflow"], dtype=bool)
-            junctions = np.asarray(payload["junctions"], dtype=np.int64)
+    if use_native_only:
+        walker = nat.LinksWalkerNative(graph, [child_color], links)
+        fp = ckpt.graph_fingerprint(graph) if checkpoint else ""
+        start_at = 0
+        contig_list: list = []
+        junctions = np.zeros(0, dtype=np.int64)
+        if checkpoint:
+            saved = ckpt.load_chunk_state(checkpoint, fp)
+            if saved is not None:
+                start_at, payload = saved
+                contig_list = payload["contigs"]
+                junctions = np.asarray(payload["junctions"], dtype=np.int64)
+        for lo in range(start_at, len(cks), chunk):
+            cl, jn = native_assemble(walker, cks[lo:lo + chunk])
+            contig_list.extend(cl)
+            junctions = np.concatenate([junctions, jn.astype(np.int64)])
+            if checkpoint and lo + chunk < len(cks):
+                ckpt.save_chunk_state(checkpoint, fp, lo + chunk, {
+                    "contigs": contig_list,
+                    "junctions": junctions.tolist()})
+        if checkpoint:
+            ckpt.clear_chunk_state(checkpoint)
+        contigs = dict(zip(cks, contig_list))
+        if stats is not None:
+            stats["walk_kernel"] = "native_links"
+            stats["link_junctions_resolved"] = int(junctions.sum())
+            stats["link_replays"] = len(cks)
+        return _greedy_emit(cks, contigs, roi, k)
 
-    walker = (wl.LinkedWalker(graph, [child_color], links)
-              if native_walker is None else None)
-    for lo in range(start_at, len(cks), chunk):
-        cl, of, jn = assemble_chunk(cks[lo:lo + chunk])
-        contig_list.extend(cl)
-        overflow = np.concatenate([overflow, of])
-        junctions = np.concatenate([junctions, jn.astype(np.int64)])
-        if checkpoint and lo + chunk < len(cks):
-            ckpt.save_chunk_state(checkpoint, fp, lo + chunk, {
-                "contigs": contig_list,
-                "overflow": overflow.tolist(),
-                "junctions": junctions.tolist()})
-    if checkpoint:
-        ckpt.clear_chunk_state(checkpoint)
-    contigs = dict(zip(cks, contig_list))
+    # --- device jump walks + exact linked replay of link-touching walks ---
+    import time as _time
+    import jax.numpy as jnp
+    from ..ops import cuckoo as cko
+    from ..ops import walk_np as wnp
+    from ..caller.call import _kmer_hash_codes
 
-    # exact replay for walks whose link state overflowed the device caps:
-    # the native unbounded walker when available, the host engine otherwise
-    n_replay = int(overflow.sum())
-    if n_replay:
-        idxs = [int(i) for i in np.nonzero(overflow)[0]]
+    t0 = _time.perf_counter()
+    jt = cko.build_jump_table(graph.kmers, graph.edges[:, child_color], k)
+    build_s = _time.perf_counter() - t0
+
+    key_strs: set = set()
+    for lm in links:
+        idx = getattr(lm, "index", None)
+        key_strs |= set(idx if idx is not None
+                        else getattr(lm, "records", {}))
+    link_keys = (np.unique(_kmer_hash_codes(
+        km.strings_to_codes(sorted(key_strs)))) if key_strs else None)
+
+    rc = [km.revcomp(s) for s in cks]
+    contigs = {}
+    relink: list = []
+    t0 = _time.perf_counter()
+    dev_steps = 0
+    for lo in range(0, len(cks), chunk):
+        f_seeds = jnp.asarray(km.pack_codes(
+            km.strings_to_codes(cks[lo:lo + chunk]), k))
+        r_seeds = jnp.asarray(km.pack_codes(
+            km.strings_to_codes(rc[lo:lo + chunk]), k))
+        fpk, _, fst, _ = cko.walk_forward_jumps(
+            jt.buckets, jt.rows, f_seeds, k, max_walk)
+        rpk, _, rst, _ = cko.walk_forward_jumps(
+            jt.buckets, jt.rows, r_seeds, k, max_walk)
+        dev_steps += int(fst.sum()) + int(rst.sum())
+        for i in range(fpk.shape[0]):
+            s = cks[lo + i]
+            fwd = wnp.replay_jump_walk(s, fpk[i], int(fst[i]), max_walk)
+            back = wnp.replay_jump_walk(rc[lo + i], rpk[i], int(rst[i]),
+                                        max_walk)
+            path = (km.revcomp(back) if back else "") + s + fwd
+            if link_keys is not None:
+                codes = km.string_to_codes_permissive(path)
+                wins = km.kmerize_codes(codes, k)
+                canon, _ = km.canonicalize_codes(wins)
+                h = _kmer_hash_codes(canon)
+                pos = np.minimum(np.searchsorted(link_keys, h),
+                                 len(link_keys) - 1)
+                if bool(np.any(link_keys[pos] == h)):
+                    relink.append(lo + i)
+                    continue
+            contigs[s] = path
+    walk_s = _time.perf_counter() - t0
+
+    junctions_total = 0
+    if relink:
+        seeds = [cks[i] for i in relink]
         if nat.available():
             rw = nat.LinksWalkerNative(graph, [child_color], links)
-            seeds = [cks[i] for i in idxs]
-            f, _ = rw.walk(seeds, max_walk)
-            bk, _ = rw.walk([km.revcomp(s) for s in seeds], max_walk)
-            for i, ff, bb in zip(idxs, f, bk):
-                contigs[cks[i]] = (km.revcomp(bb) if bb else "") + cks[i] + ff
+            cl, jn = native_assemble(rw, seeds)
+            junctions_total = int(jn.sum())
+            for i, c in zip(relink, cl):
+                contigs[cks[i]] = c
         else:
             e = TraversalEngine(TraversalConfig(
                 graph=graph, traversal_colors=[child_color], direction=BOTH,
                 combination=OR, stopping_rule=ContigStopper, rois=roi,
                 links=links, max_branch_length=max_walk))
-            for i in idxs:
+            for i in relink:
                 s = cks[i]
                 g = e.dfs(s)
                 w = to_walk(g, s, child_color, graph=graph)
                 contigs[s] = to_contig(w) if w else s
 
     if stats is not None:
-        stats["link_junctions_resolved"] = int(junctions.sum())
-        stats["overflow_replays"] = n_replay
-        stats["link_records_truncated"] = getattr(walker, "truncated", 0)
+        stats["walk_kernel"] = "jump_table"
+        stats["jump_table_build_s"] = round(build_s, 2)
+        stats["device_walk_s"] = round(walk_s, 2)
+        stats["device_steps"] = dev_steps
+        stats["device_steps_per_s"] = (round(dev_steps / walk_s)
+                                       if walk_s > 0 else 0)
+        stats["link_replays"] = len(relink)
+        stats["link_junctions_resolved"] = junctions_total
     return _greedy_emit(cks, contigs, roi, k)
 
 
@@ -710,6 +768,7 @@ def _partition_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
     else:
         import jax.numpy as jnp
         from ..ops import cuckoo as cko
+        from ..ops import walk_np as wnp
         fp = ckpt.graph_fingerprint(graph) if checkpoint else ""
         start_at = 0
         if checkpoint:
@@ -717,19 +776,22 @@ def _partition_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
             if saved is not None:
                 start_at, done = saved
                 contigs.update(zip(cks[:start_at], done))
-        ct = cko.build_walk_table(graph.kmers, graph.edges[:, child_color])
-        buckets = jnp.asarray(ct.buckets)
+        # the jump table (pointer-chased unitig runs) is the production walk
+        # kernel — the same code path bench.py's headline measures
+        jt = cko.build_jump_table(graph.kmers, graph.edges[:, child_color], k)
         chunk = 65536
         for lo in range(start_at, len(cks), chunk):
             f_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(cks[lo:lo + chunk]), k))
             r_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(rc[lo:lo + chunk]), k))
-            fb, fc, _ = cko.walk_forward_spec_chunked(buckets, f_seeds, k, max_walk)
-            rb, rcy, _ = cko.walk_forward_spec_chunked(buckets, r_seeds, k, max_walk)
-            fb, rb = fb.T, rb.T
-            for i in range(fb.shape[0]):
+            fpk, _, fst, _ = cko.walk_forward_jumps(
+                jt.buckets, jt.rows, f_seeds, k, max_walk)
+            rpk, _, rst, _ = cko.walk_forward_jumps(
+                jt.buckets, jt.rows, r_seeds, k, max_walk)
+            for i in range(fpk.shape[0]):
                 s = cks[lo + i]
-                fwd_ext = wk.replay_walk(s, fb[i], bool(fc[i]), max_walk)
-                back_ext = wk.replay_walk(rc[lo + i], rb[i], bool(rcy[i]), max_walk)
+                fwd_ext = wnp.replay_jump_walk(s, fpk[i], int(fst[i]), max_walk)
+                back_ext = wnp.replay_jump_walk(rc[lo + i], rpk[i],
+                                                int(rst[i]), max_walk)
                 contigs[s] = (km.revcomp(back_ext) if back_ext else "") + s + fwd_ext
             if checkpoint and lo + chunk < len(cks):
                 ckpt.save_chunk_state(checkpoint, fp, lo + chunk,

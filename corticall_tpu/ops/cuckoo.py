@@ -632,27 +632,42 @@ def walk_forward_runs_chunked(buckets, runs, seeds, k: int, num_steps: int,
 # Brent cycle detection compares row ids (a bijection onto oriented kmers)
 # instead of 96-bit cursors.  Emissions use the identical packed-run format,
 # so decode_runs/replay_run_walk consume both kernels unchanged.
+#
+# BUILD is pointer doubling, fully on device (no recorded walks, no scans):
+# one single-step pass computes every row's successor (dense edge read + one
+# hash resolve of the landing kmer), then log2(JUMP_MAX) compose passes each
+# double the run length — run[r] = run[r] ++ run[dest[r]].  With JUMP_MAX a
+# power of two the composition is exact: a full run always has length 2^s at
+# stage s, so the landing row after concatenation is exactly the landed run's
+# own pointer, never a mid-run cursor.  Every composed run is a prefix of the
+# true walk from its row, which is all replay_jump_walk's seen-set
+# replay needs for host-oracle-exact contigs.  ~6 vectorized passes replace
+# the old 87-iteration recorded-walk builder: at 2.26M records the build
+# dropped from 27 s (plus ~140 s of scan-kernel compiles through the remote
+# AOT tunnel) to well under a second of device time.
 
 _JUMP_END = np.uint32(0xFFFFFFFF)   # run ends the walk (branch/dead-end)
 
-# bases per jump row: 12 in w0 + 12+4 in w1 + 16 in w3 (w2 is the pointer).
-# 44 bases/jump instead of the run table's 24 nearly halves the gathered
-# rows per emitted base on long unitigs.
-JUMP_MAX = 44
+# bases per jump row.  A power of two (doubling exactness, see above); the
+# packed layout (12 in w0 + 16 in w1 + 16 in w3) holds up to 44, so 32 uses
+# w0 fully and w1/w3 partially.
+JUMP_MAX = 32
 
 
 @dataclass
 class JumpTable:
-    """rows: uint32[2N, 4] — row 2*i+d = (w0, w1, next_row, w2) for kmer i
-    in orientation d (0 = as stored/canonical, 1 = revcomp).  Wide packed
-    run (JUMP_MAX = 44 bases, big-endian 2-bit fields):
-      w0 bits 23..0  = b0..b11,  bits 29..24 = run length, bit 31 = cycle
-      w1 bits 23..0  = b12..b23, bits 31..24 = b24..b27
-      w2 bits 31..0  = b28..b43
+    """rows: uint32[2N, 4] — row 2*i+d = (hi, lo, next_row, meta) for kmer
+    i in orientation d (0 = as stored/canonical, 1 = revcomp).  (hi, lo)
+    hold the run bases LINEARLY packed big-endian: base p at bits (62-2p)
+    of the 64-bit pair (hi bits 30-2p for p<16, lo bits 30-2(p-16) for
+    p>=16); meta bits 5..0 = run length, bit 31 = builder-detected cycle.
     next_row = _JUMP_END unless the run is a full JUMP_MAX-base unitig run,
     in which case it is the row id of the landing cursor.  `buckets` is a
     build_cuckoo(kmers, ids) table used once per walk to resolve the seed
-    to its row.
+    to its row.  Because every non-final jump emits exactly JUMP_MAX bases,
+    a walk's emissions concatenate contiguously — the walker returns ONE
+    [B, 2T] packed array at ~2 bits per base, which matters on rigs where
+    device->host moves at tens of MB/s (the axon tunnel).
 
     Capacity: row ids are 2*payload+orientation carried as int32, capping
     the graph at 2^30 kmers (vs the cuckoo payload's 2^31) — ample for the
@@ -664,113 +679,151 @@ class JumpTable:
     stride, so a cycle of length L is detected after L/gcd(L,44) jumps —
     within the step cap for short cycles, but a long cycle whose period
     exceeds cap/JUMP_MAX jumps saturates `steps` at the cap with
-    cycled=False.  walk_forward_jumps_chunked therefore reports
+    cycled=False.  walk_forward_jumps therefore reports
     cap-saturated lanes as potentially cyclic (`cycled | (steps ==
     num_steps)` would over-flag; instead consumers get the separate
     `saturated` mask) and replayed contigs stay exact regardless because
-    replay_run_walk_wide applies the reference seen-set rule to the
+    replay_jump_walk applies the reference seen-set rule to the
     recorded bases."""
     buckets: np.ndarray
     rows: np.ndarray
     words: int
 
 
-def _pack_runs_wide_jax(bases: jnp.ndarray, cycled: jnp.ndarray,
-                        steps: jnp.ndarray):
-    """bases int8[T, B] -> wide run words (w0, w1, w2) uint32[B] in the
-    JumpTable layout.  Each emitted base owns disjoint bits, so a
-    masked-shift sum packs the whole recording in one fused kernel — no
-    host scatter."""
-    valid = bases >= 0
-    pos = jnp.cumsum(valid.astype(jnp.int32), axis=0) - 1
-    code = jnp.where(valid, bases, 0).astype(jnp.uint32)
-    sh0 = jnp.clip(22 - 2 * pos, 0, 31).astype(jnp.uint32)   # b0..b11
-    sh1 = jnp.clip(46 - 2 * pos, 0, 31).astype(jnp.uint32)   # b12..b23
-    sh1b = jnp.clip(78 - 2 * pos, 0, 31).astype(jnp.uint32)  # b24..b27
-    sh2 = jnp.clip(86 - 2 * pos, 0, 31).astype(jnp.uint32)   # b28..b43
-    w0 = jnp.sum(jnp.where(valid & (pos < 12), code << sh0, 0),
-                 axis=0, dtype=jnp.uint32)
-    w1 = jnp.sum(jnp.where(valid & (pos >= 12) & (pos < 24), code << sh1, 0)
-                 | jnp.where(valid & (pos >= 24) & (pos < 28),
-                             code << sh1b, 0),
-                 axis=0, dtype=jnp.uint32)
-    w2 = jnp.sum(jnp.where(valid & (pos >= 28) & (pos < JUMP_MAX),
-                           code << sh2, 0),
-                 axis=0, dtype=jnp.uint32)
-    w0 = w0 | (steps.astype(jnp.uint32) << 24)
-    w0 = w0 | (cycled.astype(jnp.uint32) << 31)
-    return w0, w1, w2
+def _pair_shr(hi: jnp.ndarray, lo: jnp.ndarray, s: jnp.ndarray):
+    """Logical right shift of a 64-bit value held as (hi, lo) uint32 pairs
+    by s in [0, 64) — uint64 is unavailable without x64 mode."""
+    s = s.astype(jnp.uint32)
+    big = s >= 32
+    sm = jnp.where(big, s - 32, s)                       # [0, 32)
+    # carry = hi << (32 - sm) without UB at sm == 0
+    carry = jnp.where(sm > 0, hi << ((32 - sm) & 31), 0)
+    lo2 = jnp.where(big, hi >> sm, (lo >> sm) | carry)
+    hi2 = jnp.where(big, 0, hi >> sm)
+    return hi2.astype(jnp.uint32), lo2.astype(jnp.uint32)
 
 
-def _jump_advance(src, w0, w1, w2, steps, k: int):
-    """Advance cursors by up to JUMP_MAX recorded bases: two
-    shift_append_multi stages (<= 24 bases each)."""
-    hi24a = w0 & jnp.uint32(0x00FFFFFF)
-    lo24a = w1 & jnp.uint32(0x00FFFFFF)
-    m1 = jnp.minimum(steps, RUN_MAX)
-    nxt = kj.shift_append_multi(src, hi24a, lo24a, m1, k)
-    hi24b = (((w1 >> jnp.uint32(24)) & jnp.uint32(0xFF)) << jnp.uint32(16)
-             | ((w2 >> jnp.uint32(16)) & jnp.uint32(0xFFFF)))
-    lo24b = (w2 & jnp.uint32(0xFFFF)) << jnp.uint32(8)
-    m2 = jnp.maximum(steps - RUN_MAX, 0)
-    return kj.shift_append_multi(nxt, hi24b, lo24b, m2, k)
+@partial(jax.jit, static_argnames=("k",))
+def _jump_stage0(kmers_dev, edges_dev, ct_buckets, k: int):
+    """Single-step successor for every (kmer, orientation) row.
+
+    Returns per-row (hi, lo, length, cyc, ptr) where (hi, lo) hold the run
+    bases in LINEAR packing — base p at bits (62-2p) of the 64-bit pair —
+    and ptr is the successor row id (or _JUMP_END).  Orientation d=1 rows
+    walk from the revcomp of the stored kmer.  The edge byte comes from the
+    dense edges array (no hash); only the LANDING kmer needs one lookup."""
+    n, w = kmers_dev.shape
+    e = edges_dev.astype(jnp.uint32)
+
+    def one(cur, next_mask, d):
+        nm = kj.popcount4(next_mask)
+        base = kj.lowest_set_base(next_mask)
+        nxt = kj.shift_append(cur, base.astype(jnp.uint32), k)
+        single = nm == 1
+        canon, fl2 = kj.canonicalize_words(nxt, k)
+        pay, present = lookup_payload_tag(ct_buckets, canon, w)
+        dest = (2 * pay + fl2.astype(jnp.uint32)).astype(jnp.uint32)
+        own = (2 * jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(d))
+        self_loop = single & present & (dest == own)
+        length = jnp.where(single & ~self_loop, 1, 0).astype(jnp.uint32)
+        cyc = self_loop
+        ptr = jnp.where(single & present & ~self_loop, dest, _JUMP_END)
+        hi = jnp.where(length > 0, base.astype(jnp.uint32) << 30, 0)
+        lo = jnp.zeros_like(hi)
+        return hi, lo, length, cyc, ptr
+
+    # d=0: stored (canonical) orientation -> out-edges are the low nibble;
+    # d=1: revcomp orientation -> the high nibble (walk kernels derive the
+    # same masks via canonicalize+flipped)
+    fwd = one(kmers_dev, e & 0xF, 0)
+    rev = one(kj.revcomp_words(kmers_dev, k), e >> 4, 1)
+    return fwd, rev
 
 
-@partial(jax.jit, static_argnames=("k", "rev"))
-def _jump_build_chunk(walk_buckets, ct_buckets, src, k: int, rev: bool):
-    """Record one chunk's runs + landing pointers entirely on device:
-    JUMP_MAX-capped exact walks, packed run words, landing cursor advanced
-    by shift_append_multi, resolved to a row id through the id table."""
-    if rev:
-        src = kj.revcomp_words(src, k)
-    state = _spec_init(src)
-    state, bases, _, _ = _spec_chunk_device(
-        walk_buckets, state, k, JUMP_MAX, spec_iters(JUMP_MAX), 16)
-    steps, cycled = state[3], state[4]
-    w0, w1, w2 = _pack_runs_wide_jax(bases, cycled, steps)
-    nxt = _jump_advance(src, w0, w1, w2, steps, k)
-    canon, flipped = kj.canonicalize_words(nxt, k)
-    w = src.shape[1]
-    land, present = lookup_payload_tag(ct_buckets, canon, w)
-    land_row = 2 * land + flipped.astype(jnp.uint32)
-    full = (steps == JUMP_MAX) & ((w0 >> jnp.uint32(31)) == 0) & present
-    ptr = jnp.where(full, land_row, _JUMP_END)
-    return w0, w1, w2, ptr
+@jax.jit
+def _jump_compose(hi, lo, length, cyc, ptr):
+    """One doubling pass: rows holding a FULL run (of the current stage
+    size) with a live pointer append their destination's run.  Exactness
+    invariant maintained across passes: ptr != END  <=>  the run is full
+    and continuing, so the landed pointer is never a mid-run cursor."""
+    own = jnp.arange(hi.shape[0], dtype=jnp.uint32)
+    live = ptr != _JUMP_END
+    d = jnp.where(live, ptr, 0)
+    bhi, blo = hi[d], lo[d]
+    blen, bcyc, bptr = length[d], cyc[d], ptr[d]
+    shi, slo = _pair_shr(bhi, blo, 2 * length)
+    nhi = jnp.where(live, hi | shi, hi)
+    nlo = jnp.where(live, lo | slo, lo)
+    nlen = jnp.where(live, length + blen, length)
+    nptr = jnp.where(live, bptr, ptr)
+    # cycle closed within the composed run: destination chain returned to
+    # this row (catches cycle lengths dividing the stage size)
+    ncyc = jnp.where(live, bcyc | (bptr == own), cyc)
+    nptr = jnp.where(ncyc, _JUMP_END, nptr)
+    return nhi, nlo, nlen, ncyc, nptr
+
+
+@jax.jit
+def _jump_pack_rows(hi, lo, length, cyc, ptr):
+    meta = length | (cyc.astype(jnp.uint32) << 31)
+    return jnp.stack([hi, lo, ptr, meta], axis=1)
+
+
+def _jump_rows_device(kmers_dev, edges_dev, ct_buckets, k: int):
+    """Small jitted programs instead of one fused giant: stage0 compiles
+    once per shape bucket and the SAME compiled compose program runs all
+    log2(JUMP_MAX) doubling passes — the remote AOT compiler charges per
+    program, so splitting cuts compile wall-clock several-fold while
+    adding only ~7 cheap dispatches."""
+    (fh, fl, fn, fc, fp), (rh, rl, rn, rc, rp) = _jump_stage0(
+        kmers_dev, edges_dev, ct_buckets, k)
+
+    def interleave(a, b):
+        return jnp.stack([a, b], axis=1).reshape(-1, *a.shape[1:])
+
+    hi, lo = interleave(fh, rh), interleave(fl, rl)
+    length, cyc, ptr = (interleave(fn, rn), interleave(fc, rc),
+                        interleave(fp, rp))
+    stage = 1
+    while stage < JUMP_MAX:
+        hi, lo, length, cyc, ptr = _jump_compose(hi, lo, length, cyc, ptr)
+        stage *= 2
+    return _jump_pack_rows(hi, lo, length, cyc, ptr)
+
+
+def _pow2_pad(n: int, lo: int = 4096) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
 
 
 def build_jump_table(kmers: np.ndarray, edges: np.ndarray, k: int,
                      load_factor: float = 0.5,
                      chunk: int = 262144) -> JumpTable:
-    """Run table in pointer-jumping form.  Runs are recorded by the exact
-    speculative kernel (same as build_run_table); landing pointers are the
-    builder's cursor after each full run, resolved to row ids through the
-    seed-lookup table itself.  The whole recording pipeline runs on device;
-    only the final [B, 4] words come back per chunk."""
+    """Pointer-doubling jump-table build, fully on device (see the section
+    comment).  `rows` and `buckets` are returned as DEVICE arrays — the
+    walker consumes them in place; nothing round-trips through the host.
+    Inputs are padded to power-of-two row counts so arbitrary graph sizes
+    share a handful of compiled programs (pad rows duplicate row 0; they
+    are unreachable — seed resolution and dest pointers only ever produce
+    real ids from the hash table).  `chunk` is accepted for backward
+    compatibility and unused."""
     n, w = kmers.shape
     ids = np.arange(n, dtype=np.uint32)
     ct = build_cuckoo(kmers, ids, load_factor=load_factor,
                       bucket_size=2, primary_bias=True)
-    walk_ct = build_walk_table(kmers, edges, load_factor=load_factor)
-    dev_buckets = jnp.asarray(walk_ct.buckets)
     ct_buckets = jnp.asarray(ct.buckets)
-
-    rows = np.zeros((2 * n, 4), dtype=np.uint32)
-    for lo in range(0, n, chunk):
-        hi = min(lo + chunk, n)
-        pad = chunk - (hi - lo)
-        sl = kmers[lo:hi]
-        if pad:   # keep one compiled shape for every chunk
-            sl = np.concatenate([sl, np.repeat(sl[:1], pad, axis=0)])
-        sl = jnp.asarray(np.ascontiguousarray(sl))
-        for d in (0, 1):
-            w0, w1, w2, ptr = _jump_build_chunk(dev_buckets, ct_buckets, sl,
-                                                k, bool(d))
-            r = rows[2 * lo + d: 2 * hi: 2]
-            r[:, 0] = np.asarray(w0)[:hi - lo]
-            r[:, 1] = np.asarray(w1)[:hi - lo]
-            r[:, 2] = np.asarray(ptr)[:hi - lo]
-            r[:, 3] = np.asarray(w2)[:hi - lo]
-    return JumpTable(buckets=ct.buckets, rows=rows, words=w)
+    npad = _pow2_pad(n)
+    if npad != n:
+        kmers = np.concatenate(
+            [kmers, np.repeat(kmers[:1], npad - n, axis=0)])
+        edges = np.concatenate(
+            [edges, np.zeros(npad - n, dtype=edges.dtype)])
+    rows = _jump_rows_device(jnp.asarray(kmers),
+                             jnp.asarray(edges.astype(np.uint8)),
+                             ct_buckets, k)
+    return JumpTable(buckets=ct_buckets, rows=rows, words=w)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -809,14 +862,16 @@ def lookup_tag(buckets: jnp.ndarray, canon: jnp.ndarray, w: int) -> jnp.ndarray:
 
 def _jump_step_fn(rows, num_steps: int):
     """One pointer jump.  State: (row, active, emitcnt, cycled, saved,
-    power, lam) — row/saved are int32 row ids."""
+    power, lam) — row/saved are int32 row ids.  Emits the jump's (hi, lo)
+    linear-packed bases, masked to the emitted count when the step cap
+    clamps a run mid-jump."""
 
     def step(state, _):
         row, active, emitcnt, cycled, saved, power, lam = state
         r = rows[jnp.maximum(row, 0)]                      # [B, 4]
-        r0, r1, ptr, r2 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
-        run_len = ((r0 >> jnp.uint32(24)) & jnp.uint32(0x3F)).astype(jnp.int32)
-        run_cyc = (r0 >> jnp.uint32(31)) != 0
+        hi, lo, ptr, meta = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
+        run_len = (meta & jnp.uint32(0x3F)).astype(jnp.int32)
+        run_cyc = (meta >> jnp.uint32(31)) != 0
 
         m = jnp.minimum(run_len, num_steps - emitcnt)
         emit = active & (m > 0)
@@ -831,12 +886,20 @@ def _jump_step_fn(rows, num_steps: int):
             active & run_cyc & (run_len == 0))
         advance = has_next & ~is_cycle & (emitcnt + mm < num_steps)
 
-        # emitted wide run words: len field = emitted count (caps clamp it);
-        # decode reads only the first mm bases, so trailing bits pass through
-        e0 = jnp.where(emit, (r0 & jnp.uint32(0x00FFFFFF))
-                       | (mm.astype(jnp.uint32) << 24), jnp.uint32(0))
-        e1 = jnp.where(emit, r1, jnp.uint32(0))
-        e2 = jnp.where(emit, r2, jnp.uint32(0))
+        # keep only the first mm bases (top 2*mm bits of the 64-bit pair) —
+        # a no-op except when the cap clamps the final jump
+        keep = (2 * mm).astype(jnp.uint32)
+        hi_mask = jnp.where(keep >= 32, jnp.uint32(0xFFFFFFFF),
+                            jnp.where(keep > 0,
+                                      jnp.uint32(0xFFFFFFFF)
+                                      << ((32 - keep) & 31), 0))
+        lo_keep = jnp.where(keep > 32, keep - 32, 0)
+        lo_mask = jnp.where(lo_keep >= 32, jnp.uint32(0xFFFFFFFF),
+                            jnp.where(lo_keep > 0,
+                                      jnp.uint32(0xFFFFFFFF)
+                                      << ((32 - lo_keep) & 31), 0))
+        e_hi = jnp.where(emit, hi & hi_mask, 0)
+        e_lo = jnp.where(emit, lo & lo_mask, 0)
 
         teleport = (power == lam) & advance
         saved = jnp.where(teleport, nxt, saved)
@@ -846,7 +909,7 @@ def _jump_step_fn(rows, num_steps: int):
 
         row = jnp.where(advance, nxt, row)
         return (row, advance, emitcnt + mm,
-                cycled | is_cycle | ends_cycle, saved, power, lam), (e0, e1, e2)
+                cycled | is_cycle | ends_cycle, saved, power, lam), (e_hi, e_lo)
 
     return step
 
@@ -859,73 +922,67 @@ def _jump_init(seed_rows):
 
 
 def jump_iters(num_steps: int) -> int:
-    """Iteration ceiling: every executed jump emits >= 1 base (zero-run rows
-    retire the lane immediately), so num_steps + 1 covers the cap plus the
-    retiring iteration."""
-    return num_steps + 1
+    """Iteration ceiling.  A jump row carries a live pointer ONLY when its
+    run is a full JUMP_MAX-base unitig run (partial runs end the walk), so
+    every non-final jump emits exactly JUMP_MAX bases: a walk needs at most
+    ceil(num_steps / JUMP_MAX) full jumps plus one final partial jump.  The
+    tight bound matters doubly — fewer early-exit checks on device AND a
+    [T, B] output small enough that materializing the run words for replay
+    costs ~bases/4 bytes instead of dominating wall-clock."""
+    return -(-num_steps // JUMP_MAX) + 2
 
 
-@partial(jax.jit, static_argnames=("num_steps", "chunk_len", "sub"))
-def _jump_chunk_device(rows, state, num_steps: int, chunk_len: int, sub: int):
-    """chunk_len jump iterations in ONE dispatch, early-exiting on device at
-    `sub` granularity (see _spec_chunk_device)."""
+@partial(jax.jit, static_argnames=("num_steps",))
+def _jump_walk(rows, seed_rows, num_steps: int):
+    """The whole jump walk as ONE plain scan of jump_iters(num_steps)
+    iterations.  With the tight iteration bound (every non-final jump emits
+    JUMP_MAX bases) an early-exit while_loop would save at most a few
+    percent of gathers while costing several minutes of extra AOT compile
+    (while(scan(...)) programs compile pathologically slowly through the
+    remote tunnel); a flat scan with a 4-word gather body is both the
+    fastest to compile and within noise of the fastest to run.
+
+    Returns (state, packed uint32[B, 2T]): per-lane linear 2-bit base
+    packing — lane words [h0, l0, h1, l1, ...] concatenate contiguously
+    because non-final jumps are always full."""
     step = _jump_step_fn(rows, num_steps)
-    n_sub = -(-chunk_len // sub)
-    b = state[0].shape[0]
-    out0 = jnp.zeros((n_sub * sub, b), jnp.uint32)
-    out1 = jnp.zeros((n_sub * sub, b), jnp.uint32)
-    out2 = jnp.zeros((n_sub * sub, b), jnp.uint32)
-
-    def cond(c):
-        i, st, _, _, _ = c
-        return (i < n_sub) & st[1].any()
-
-    def body(c):
-        i, st, out0, out1, out2 = c
-        st, (w0, w1, w2) = jax.lax.scan(step, st, None, length=sub)
-        out0 = jax.lax.dynamic_update_slice(out0, w0, (i * sub, 0))
-        out1 = jax.lax.dynamic_update_slice(out1, w1, (i * sub, 0))
-        out2 = jax.lax.dynamic_update_slice(out2, w2, (i * sub, 0))
-        return (i + 1, st, out0, out1, out2)
-
-    i, state, out0, out1, out2 = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), state, out0, out1, out2))
-    return state, (out0, out1, out2), state[1].any(), i * sub
+    state, (o_hi, o_lo) = jax.lax.scan(
+        step, _jump_init(seed_rows), None, length=jump_iters(num_steps))
+    packed = jnp.stack([o_hi.T, o_lo.T], axis=-1).reshape(
+        seed_rows.shape[0], -1)
+    return state, packed
 
 
-def walk_forward_jumps_chunked(buckets, rows, seeds, k: int, num_steps: int,
-                               chunk: int = 512, sub: int = 4):
-    """Jump-table walk with the chunked early-exit driver.  Returns
-    (w0 [T, B], w1 [T, B], w2 [T, B], cycled, steps, saturated) in the wide
-    run-word layout, decoded by ops/walk_np.decode_runs_wide /
-    replay_run_walk_wide.
+def walk_forward_jumps(buckets, rows, seeds, k: int, num_steps: int):
+    """Jump-table walk — the production walk entry point.  Returns
+    (packed uint32[B, 2T], cycled bool[B], steps int32[B], saturated
+    bool[B]): per-lane linearly packed emitted bases (2 bits each,
+    big-endian; decode with ops/walk_np.decode_jump_packed / replay with
+    replay_jump_walk).
 
     `saturated` marks lanes still active when `steps` hit the num_steps cap:
     the lane may sit on an undetected cycle (jump-stride Brent needs
     L/gcd(L, JUMP_MAX) jumps to close a cycle of length L — see the
     JumpTable docstring), so `cycled` is only authoritative for
     non-saturated lanes.  Replayed contigs are exact either way
-    (replay_run_walk_wide applies the reference seen-set rule)."""
-    state = _jump_init(_jump_seed_rows(buckets, seeds, k))
-    total = jump_iters(num_steps)
-    out0, out1, out2 = [], [], []
-    done = 0
-    while done < total:
-        length = min(chunk, total - done)
-        se = sub if length % sub == 0 else length
-        state, (w0, w1, w2), any_active, _ = _jump_chunk_device(
-            rows, state, num_steps, length, se)
-        out0.append(np.asarray(w0)[:length])
-        out1.append(np.asarray(w1)[:length])
-        out2.append(np.asarray(w2)[:length])
-        done += length
-        if not bool(np.asarray(any_active)):
-            break
-    steps = np.asarray(state[2])
-    saturated = (steps >= num_steps) & ~np.asarray(state[3])
-    return (np.concatenate(out0, axis=0), np.concatenate(out1, axis=0),
-            np.concatenate(out2, axis=0),
-            np.asarray(state[3]), steps, saturated)
+    (replay_jump_walk applies the reference seen-set rule).
+
+    Lanes are padded to power-of-two batch sizes (inactive pad rows) so
+    arbitrary seed counts share compiled programs — every distinct shape
+    costs a fresh AOT compile through the tunnel otherwise."""
+    b = seeds.shape[0]
+    bpad = _pow2_pad(b, 256)
+    if bpad != b:
+        seeds = jnp.concatenate(
+            [seeds, jnp.repeat(seeds[:1], bpad - b, axis=0)])
+    seed_rows = _jump_seed_rows(buckets, seeds, k)
+    if bpad != b:
+        seed_rows = seed_rows.at[b:].set(-1)     # pad lanes start inactive
+    state, packed = _jump_walk(rows, seed_rows, num_steps)
+    steps = np.asarray(state[2])[:b]
+    saturated = (steps >= num_steps) & ~np.asarray(state[3])[:b]
+    return (np.asarray(packed)[:b], np.asarray(state[3])[:b], steps,
+            saturated)
 
 
 def walk_forward_spec_chunked(buckets, seeds, k: int, num_steps: int,

@@ -17,10 +17,18 @@ import functools
 import jax
 import jax.numpy as jnp
 
+import numpy as _np
+
 U32 = jnp.uint32
-_M33 = U32(0x33333333)
-_M0F = U32(0x0F0F0F0F)
-_MFF = U32(0x00FF00FF)
+# NB: these MUST be host (numpy) scalars, not jnp arrays.  A module-level
+# jnp.uint32(...) is a COMMITTED device array; captured as a jit closure
+# constant it sends the axon AOT compiler down a pathological path — the
+# identical one-line kernel compiles in 0.4 s with an inline/numpy scalar
+# and 84 s with a captured device-array constant (measured r4).  This one
+# line was responsible for the project-wide 10-130 s kernel compiles.
+_M33 = _np.uint32(0x33333333)
+_M0F = _np.uint32(0x0F0F0F0F)
+_MFF = _np.uint32(0x00FF00FF)
 
 
 def _words(k: int) -> int:

@@ -233,6 +233,13 @@ class TesseraeDevice(tz.Tesserae):
     run costs a handful of compiles, not one per section.
     """
 
+    # HBM budget for one section's DP+traceback state.  The fused kernel
+    # holds ~4 int32 [s, W, Q] traceback arrays live; a pathological section
+    # (e.g. a 32 kb query against 16 long targets) can demand tens of GB —
+    # such sections fall back to the exact host oracle instead of OOMing the
+    # chip (observed: s32[32767,16,32769] = 69 GB would-be allocation).
+    HBM_BUDGET_BYTES = 2 << 30
+
     def align(self, query: str, targets: dict) -> list:
         if not targets or not query:
             raise ValueError("Tesserae.align requires a non-empty query and targets")
@@ -240,6 +247,14 @@ class TesseraeDevice(tz.Tesserae):
         seqs = [targets[n] for n in names]
         s_count = _bucket(len(seqs), 2)
         l1 = len(query)
+        est_maxl = _bucket(max([l1] + [len(t) for t in seqs]))
+        est_bytes = 4 * 4 * (s_count + 1) * (est_maxl + 1) * (est_maxl + 1)
+        if est_bytes > self.HBM_BUDGET_BYTES:
+            host = tz.Tesserae(self.del_, self.eps, self.rho, self.term)
+            out = host.align(query, targets)
+            self.llk = host.llk
+            self.combined_llk += host.llk
+            return out
         # one shared size bucket for query padding and target width: sections
         # pair similar-length child/parent haplotypes, so coupling the two
         # dims costs little padding and halves the number of distinct

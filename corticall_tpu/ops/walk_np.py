@@ -91,37 +91,24 @@ def decode_runs(w0: np.ndarray, w1: np.ndarray) -> np.ndarray:
     return out
 
 
-def decode_runs_wide(w0: np.ndarray, w1: np.ndarray,
-                     w2: np.ndarray) -> np.ndarray:
-    """decode_runs for the wide (JUMP_MAX = 44) jump-table layout
-    (cuckoo.walk_forward_jumps_chunked): b0..b11 in w0 bits 23..0,
-    b12..b23 in w1 bits 23..0, b24..b27 in w1 bits 31..24, b28..b43 in w2;
-    w0 bits 29..24 = emitted length."""
-    w0 = np.asarray(w0, dtype=np.uint64)
-    w1 = np.asarray(w1, dtype=np.uint64)
-    w2 = np.asarray(w2, dtype=np.uint64)
-    m = ((w0 >> 24) & 0x3F).astype(np.int64)
-    total = int(m.sum())
-    starts = np.concatenate([[0], np.cumsum(m)[:-1]])
-    t_idx = np.repeat(np.arange(len(m)), m)
-    j = np.arange(total) - starts[t_idx]                # 0..m-1 within run
-    def sh(a):
-        return a.clip(0, 63).astype(np.uint64)
-    src = np.select(
-        [j < 12, j < 24, j < 28],
-        [w0[t_idx] >> sh(22 - 2 * j),
-         w1[t_idx] >> sh(46 - 2 * j),
-         w1[t_idx] >> sh(78 - 2 * j)],
-        default=w2[t_idx] >> sh(86 - 2 * j))
-    return (src & 0x3).astype(np.int8)
+_JUMP_FIELD_SHIFTS = (30 - 2 * np.arange(16)).astype(np.uint32)
 
 
-def replay_run_walk_wide(seed: str, w0: np.ndarray, w1: np.ndarray,
-                         w2: np.ndarray,
-                         max_branch_length: int = 75000) -> str:
-    """replay_run_walk over a wide jump-kernel recording."""
-    bases = decode_runs_wide(w0, w1, w2)
-    return replay_walk(seed, bases, True, max_branch_length)
+def decode_jump_packed(words: np.ndarray, steps: int) -> np.ndarray:
+    """One lane's jump-walk emission (cuckoo.walk_forward_jumps packed
+    row: [h0, l0, h1, l1, ...], base p of each word at bits 30-2p) ->
+    int8[steps] base codes."""
+    w = np.asarray(words, dtype=np.uint32)
+    fields = (w[:, None] >> _JUMP_FIELD_SHIFTS[None, :]) & 3
+    return fields.reshape(-1).astype(np.int8)[:steps]
+
+
+def replay_jump_walk(seed: str, words: np.ndarray, steps: int,
+                     max_branch_length: int = 75000) -> str:
+    """Exact walk extension from a jump-kernel packed recording (seen-set
+    replay — see replay_run_walk)."""
+    return replay_walk(seed, decode_jump_packed(words, steps), True,
+                       max_branch_length)
 
 
 def replay_run_walk(seed: str, w0: np.ndarray, w1: np.ndarray,

@@ -269,7 +269,13 @@ def run_pipeline(workdir: str, reads_by_sample: dict, child: str,
     def compute_filter(path):
         from .caller.filter import filter_calls
         from .caller.variants import write_vcf
-        kept, rejected = filter_calls(variants)
+        # the coverage threshold stays off by default: the inherited-
+        # haplotype check below catches the parent-dropout FP class
+        # without risking true low-coverage STR events (FilterCalls
+        # exposes --min_novel_coverage for noisier data)
+        mnc = 0
+        kept, rejected = filter_calls(variants, min_novel_coverage=mnc,
+                                      references=references)
         sd, seen = [], set()
         for rid, ir in (references or {}).items():
             for name, seq in ir.seqs.items():
@@ -281,7 +287,8 @@ def run_pipeline(workdir: str, reads_by_sample: dict, child: str,
                 seen.add(f"{rid}_unknown")
         write_vcf(path, kept, sd)
         return kept, {"input_calls": len(variants), "kept": len(kept),
-                      "rejected": len(rejected)}
+                      "rejected": len(rejected),
+                      "min_novel_coverage": mnc}
     filtered = pl.stage("filter_calls", ["calls.filtered.vcf"],
                         compute_filter, _load_vcf_variants)
 

@@ -269,3 +269,57 @@ def test_write_outputs_emits_novel_kmers(tmp_path):
     assert final and all(int(v.get_attr("NOVEL_KMERS", 0)) > 0
                          for v in final)
     assert "NOVEL_KMERS=" in (tmp_path / "c.vcf").read_text()
+
+
+def test_filter_calls_reciprocal_nahr_and_inherited(tmp_path):
+    """(a) Lone breakend pairs with RECIPROCAL bracket support (an NAHR
+    insertion's region-side and donor-side partitions) survive the
+    multi-breakend rule; (b) calls whose predicted haplotype exists in a
+    parental draft are rejected as inherited (parent-dropout FP class)."""
+    from corticall_tpu.caller.filter import filter_calls, inherited_in_references
+    from corticall_tpu.caller.variants import Variant
+    from corticall_tpu.models.reference_index import IndexedReference
+    import numpy as np
+
+    def v(chrom, pos, alleles, nk, id_=None, **attrs):
+        var = Variant(chrom, pos, pos, alleles, id_=id_,
+                      attributes={"NOVEL_KMERS": nk, **attrs})
+        if not var.is_symbolic():
+            var.compute_end_from_alleles()
+        return var
+
+    # region-side pair at ~857400 pointing to 611900-612700; donor-side
+    # pair at ~612300 pointing to 857200-857900 -> mutual support
+    r0 = v("chr1", 857406, ["G", "]mom:chr1:611909-612671:+:246]G"], 9,
+           id_="r0", SVTYPE="BND", MATEID="r1", PARTITION_NAME="pA")
+    r1 = v("chr1", 857565, ["G", "G[mom:chr1:611907-612673:+:159["], 9,
+           id_="r1", SVTYPE="BND", MATEID="r0", PARTITION_NAME="pA")
+    d0 = v("chr1", 612267, ["A", "A[mom:chr1:856803-857565:+:245["], 9,
+           id_="d0", SVTYPE="BND", MATEID="d1", PARTITION_NAME="pB")
+    d1 = v("chr1", 612426, ["T", "]mom:chr1:857206-857972:+:160]T"], 9,
+           id_="d1", SVTYPE="BND", MATEID="d0", PARTITION_NAME="pB")
+    # unrelated lone pair: bracket points nowhere reciprocal
+    l0 = v("chr2", 100, ["A", "A[mom:chr2:5000-5600:+:10["], 9,
+           id_="l0", SVTYPE="BND", MATEID="l1", PARTITION_NAME="pC")
+    l1 = v("chr2", 240, ["C", "]mom:chr2:5100-5700:+:20]C"], 9,
+           id_="l1", SVTYPE="BND", MATEID="l0", PARTITION_NAME="pC")
+    kept, rej = filter_calls([r0, r1, d0, d1, l0, l1])
+    ids = {x.id_ for x in kept}
+    assert {"r0", "r1", "d0", "d1"} <= ids
+    assert "l0" not in ids and "l1" not in ids
+
+    # inherited-haplotype rejection
+    rng = np.random.default_rng(3)
+    mom = "".join(rng.choice(list("ACGT"), 3000))
+    # dad carries A->T at 1500 relative to mom
+    dad = mom[:1500] + ("T" if mom[1500] != "T" else "A") + mom[1501:]
+    refs = {"mom": IndexedReference({"c1": mom}),
+            "dad": IndexedReference({"c1": dad})}
+    # call reports dad's allele against the mom frame: inherited, not DNM
+    inh = v("c1", 1501, [mom[1500], dad[1500]], 30, BACKGROUND="mom")
+    dnm_base = "G" if "G" not in (mom[1500], dad[1500]) else "C"
+    dnm = v("c1", 1501, [mom[1500], dnm_base], 30, BACKGROUND="mom")
+    assert inherited_in_references(inh, refs)
+    assert not inherited_in_references(dnm, refs)
+    kept2, _ = filter_calls([inh, dnm], references=refs)
+    assert [x.alleles[1] for x in kept2] == [dnm_base]

@@ -310,17 +310,14 @@ def test_jump_table_matches_run_table():
     for cap in (7, 300):
         o0, o1, ocy, os_ = ck.walk_forward_runs(
             jnp.asarray(rt.buckets), jnp.asarray(rt.runs), seeds, 31, cap)
-        j0, j1, j2, jcy, js, _ = ck.walk_forward_jumps_chunked(
-            jnp.asarray(jt.buckets), jnp.asarray(jt.rows), seeds, 31, cap,
-            chunk=13)
+        packed, jcy, js, _ = ck.walk_forward_jumps(
+            jt.buckets, jt.rows, seeds, 31, cap)
         np.testing.assert_array_equal(np.asarray(os_), js)
         np.testing.assert_array_equal(np.asarray(ocy), jcy)
         o0t, o1t = np.asarray(o0).T, np.asarray(o1).T
-        j0t, j1t, j2t = j0.T, j1.T, j2.T
         for i, s in enumerate(seed_strs):
             assert (wnp.replay_run_walk(s, o0t[i], o1t[i], cap)
-                    == wnp.replay_run_walk_wide(s, j0t[i], j1t[i], j2t[i],
-                                                cap))
+                    == wnp.replay_jump_walk(s, packed[i], int(js[i]), cap))
 
 
 def test_jump_table_missing_seed_inactive():
@@ -329,8 +326,8 @@ def test_jump_table_missing_seed_inactive():
     missing = "A" * 31
     seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(
         [genome[:31], missing]), 31))
-    w0, w1, w2, cy, steps, sat = ck.walk_forward_jumps_chunked(
-        jnp.asarray(jt.buckets), jnp.asarray(jt.rows), seeds, 31, 50)
+    packed, cy, steps, sat = ck.walk_forward_jumps(
+        jt.buckets, jt.rows, seeds, 31, 50)
     assert steps[1] == 0 and not cy[1]
     assert steps[0] > 0
 
@@ -346,11 +343,10 @@ def test_jump_table_cycles():
     k = 31
     rng = np.random.default_rng(5)
     cases = {}
-    # multiple of JUMP_MAX (44): detected by builder/jump Brent quickly
+    # cycle lengths with varying gcd vs JUMP_MAX (32): 616 -> period 77
+    # jumps, 600 -> 75, 90 -> 45; all must end as cycled or saturated
     cases["cycle_616"] = "".join(rng.choice(list("ACGT"), 616))
-    # NOT a multiple of 44: gcd(600, 44)=4 -> period 150 jumps
     cases["cycle_600"] = "".join(rng.choice(list("ACGT"), 600))
-    # short cycle, not a multiple: gcd(90,44)=2 -> period 45 jumps
     cases["cycle_90"] = "".join(rng.choice(list("ACGT"), 90))
     for name, cyc in cases.items():
         hap = cyc + cyc[:k]                    # circular chromosome
@@ -362,13 +358,13 @@ def test_jump_table_cycles():
         seed_strs = [hap[:k], hap[7:7 + k]]
         seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(seed_strs), k))
         for cap in (3000, len(cyc) + 50):
-            j0, j1, j2, jcy, js, jsat = ck.walk_forward_jumps_chunked(
-                jnp.asarray(jt.buckets), jnp.asarray(jt.rows), seeds, k, cap)
+            packed, jcy, js, jsat = ck.walk_forward_jumps(
+                jt.buckets, jt.rows, seeds, k, cap)
             sb, sc, ss = ck.walk_forward_spec_chunked(
                 jnp.asarray(ct.buckets), seeds, k, cap)
-            j0t, j1t, j2t, sbt = j0.T, j1.T, j2.T, np.asarray(sb).T
+            sbt = np.asarray(sb).T
             for i, s in enumerate(seed_strs):
-                got = wnp.replay_run_walk_wide(s, j0t[i], j1t[i], j2t[i], cap)
+                got = wnp.replay_jump_walk(s, packed[i], int(js[i]), cap)
                 want = wk.replay_walk(s, sbt[i], bool(sc[i]), cap)
                 assert got == want, (name, cap, s)
                 # every lane is on a cycle: it must be either detected

@@ -28,11 +28,22 @@ def test_partition_links_device_matches_host():
     rng = np.random.default_rng(17)
     g, rois, links = _mk_graph_with_repeats(rng, 15)
     assert rois.num_records > 0
+    # native path (the small-batch default)
     stats = {}
     got = core.partition(g, rois, links=[links], max_walk=4096, stats=stats)
     want = core._partition_host(g, rois, [links], link_novels=False, max_walk=4096)
     assert got == want
-    assert stats["overflow_replays"] == 0
+    # device jump-table path (+ exact linked replay of link-touching walks)
+    old = core._NATIVE_LINK_THRESHOLD
+    try:
+        core._NATIVE_LINK_THRESHOLD = -1
+        stats_d = {}
+        got_d = core.partition(g, rois, links=[links], max_walk=4096,
+                               stats=stats_d)
+    finally:
+        core._NATIVE_LINK_THRESHOLD = old
+    assert got_d == want
+    assert stats_d["walk_kernel"] == "jump_table"
 
 
 def test_partition_links_resolves_junctions():
@@ -60,55 +71,58 @@ def test_partition_links_resolves_junctions():
     assert stats["link_junctions_resolved"] > 0
 
 
-def test_partition_links_overflow_replay():
-    # CAP+1 distinct link records on one kmer forces the overflow path;
-    # output must still equal the host oracle via replay
-    from corticall_tpu.ops import walk_links as wl
+def test_partition_links_device_replays_link_walks():
+    # the device path must route every walk whose path touches a
+    # link-carrying kmer to the exact linked replay — on a repeat-crossing
+    # graph that is how the linked contig stays identical to the oracle
     rng = np.random.default_rng(29)
     g, rois, links = _mk_graph_with_repeats(rng, 15)
-    old_cap = wl.MAX_ADD
     old_thresh = core._NATIVE_LINK_THRESHOLD
     try:
-        wl.MAX_ADD = 0   # force every linked arrival to overflow
-        core._NATIVE_LINK_THRESHOLD = -1   # force the device kernel path
+        core._NATIVE_LINK_THRESHOLD = -1   # force the device path
         stats = {}
         got = core.partition(g, rois, links=[links], max_walk=4096, stats=stats)
     finally:
-        wl.MAX_ADD = old_cap
         core._NATIVE_LINK_THRESHOLD = old_thresh
     want = core._partition_host(g, rois, [links], link_novels=False, max_walk=4096)
     assert got == want
+    assert stats["link_replays"] > 0
+    assert stats["device_steps"] > 0
 
 
 def test_partition_links_checkpoint_resume(tmp_path, monkeypatch):
-    """Chunked walk checkpointing: a run interrupted after chunk 1 resumes at
-    chunk 2 (completed seeds are NOT re-walked), output matches an
-    uninterrupted run, and the checkpoint file is cleared on completion."""
+    """Chunked walk checkpointing (native path): a run interrupted after
+    chunk 1 resumes at chunk 2 (completed seeds are NOT re-walked), output
+    matches an uninterrupted run, and the checkpoint file is cleared on
+    completion."""
     import os
 
-    from corticall_tpu.ops import walk_links as wl
+    from corticall_tpu import native as nat
     from corticall_tpu.utils import checkpoint as ckpt
+
+    if not nat.available():
+        import pytest
+        pytest.skip("native walker unavailable")
 
     rng = np.random.default_rng(17)
     g, rois, links = _mk_graph_with_repeats(rng, 15)
     path = str(tmp_path / "part.ckpt")
-    monkeypatch.setattr(core, "_NATIVE_LINK_THRESHOLD", -1)  # device path
     want = core._partition_links_device(g, rois, [links], 4096)
     cks = sorted(rois.kmer_string(i) for i in range(rois.num_records))
     assert len(cks) > 2
 
-    # run chunked with a checkpoint, killing after the first chunk:
-    # the first assemble call completes (and its state is saved), then boom
-    real_assemble = wl.LinkedWalker.assemble
+    # run chunked with a checkpoint, killing after the first chunk (each
+    # chunk makes TWO walk calls: forward + reverse)
+    real_walk = nat.LinksWalkerNative.walk
     calls = []
 
-    def dying_assemble(self, seeds, num_steps):
+    def dying_walk(self, seeds, num_steps):
         calls.append(len(seeds))
-        if len(calls) == 2:
-            raise KeyboardInterrupt  # simulated kill between chunks
-        return real_assemble(self, seeds, num_steps)
+        if len(calls) == 3:              # second chunk's forward walk
+            raise KeyboardInterrupt      # simulated kill between chunks
+        return real_walk(self, seeds, num_steps)
 
-    monkeypatch.setattr(wl.LinkedWalker, "assemble", dying_assemble)
+    monkeypatch.setattr(nat.LinksWalkerNative, "walk", dying_walk)
     with np.testing.assert_raises(KeyboardInterrupt):
         core._partition_links_device(g, rois, [links], 4096,
                                      checkpoint=path, chunk=2)
@@ -117,21 +131,21 @@ def test_partition_links_checkpoint_resume(tmp_path, monkeypatch):
     # resume: first chunk is NOT re-walked, output identical, file cleared
     resumed = []
 
-    def counting_assemble(self, seeds, num_steps):
+    def counting_walk(self, seeds, num_steps):
         resumed.append(len(seeds))
-        return real_assemble(self, seeds, num_steps)
+        return real_walk(self, seeds, num_steps)
 
-    monkeypatch.setattr(wl.LinkedWalker, "assemble", counting_assemble)
+    monkeypatch.setattr(nat.LinksWalkerNative, "walk", counting_walk)
     got = core._partition_links_device(g, rois, [links], 4096,
                                        checkpoint=path, chunk=2)
     assert got == want
-    assert sum(resumed) == len(cks) - 2  # chunk 1's seeds never re-walked
+    assert sum(resumed) == 2 * (len(cks) - 2)  # chunk 1 never re-walked
     assert not os.path.exists(path)
-    monkeypatch.setattr(wl.LinkedWalker, "assemble", real_assemble)
+    monkeypatch.setattr(nat.LinksWalkerNative, "walk", real_walk)
 
     # a checkpoint against a DIFFERENT graph is ignored
     ckpt.save_chunk_state(path, "bogus-fingerprint", 2, {
-        "contigs": ["X", "Y"], "overflow": [False, False], "junctions": [0, 0]})
+        "contigs": ["X", "Y"], "junctions": [0, 0]})
     got2 = core._partition_links_device(g, rois, [links], 4096,
                                         checkpoint=path, chunk=2)
     assert got2 == want
