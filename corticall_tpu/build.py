@@ -165,18 +165,30 @@ def _verify_count_invariants(kmers: np.ndarray, cov: np.ndarray,
 
 def build_graph_from_reads(sequences, k: int, sample_name: str,
                            use_native: bool = True,
-                           verify: bool = True) -> gr.CortexGraph:
+                           verify: bool = True,
+                           use_device: bool | None = None) -> gr.CortexGraph:
     """`mccortex build -k <k> -S` equivalent: reads -> sorted 1-color graph.
 
-    Uses the C++ native counting core (native.py) when available; falls back
-    to the vectorized numpy path (loudly — never silently).  `verify` keeps
-    the conservation + monotonicity fence on (see _verify_count_invariants).
+    use_device selects the TPU counting path (ops/build_device.py — XLA
+    sort + segment reduction, bit-identical output); None reads the
+    CORTICALL_DEVICE_BUILD env var ("1" to enable).  Otherwise the C++
+    native counting core (native.py) when available, falling back to the
+    vectorized numpy path (loudly — never silently).  `verify` keeps the
+    conservation + monotonicity fence on (see _verify_count_invariants).
     """
+    import os
+
     from . import native
     result = None
     source = "numpy"
     sequences = list(sequences)
-    if use_native and k <= 64:
+    if use_device is None:
+        use_device = os.environ.get("CORTICALL_DEVICE_BUILD", "") == "1"
+    if use_device:
+        from .ops import build_device as bdv
+        result = bdv.count_kmers_device(sequences, k)
+        source = "device"
+    if result is None and use_native and k <= 64:
         result = native.count_kmers_native(sequences, k)
         if result is None:
             native.warn_fallback("count_kmers_native returned None")

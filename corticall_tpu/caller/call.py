@@ -1403,6 +1403,13 @@ class Caller:
                 if not vcb.is_filtered():
                     svcs.add(vcb)
 
+        # attribute the device mosaic-alignment phase: first call per shape
+        # bucket pays the remote AOT compile, the rest is dispatch+DP
+        if device_ma and getattr(self.ma, "compile_s", 0):
+            tmr.sections["device:tesserae_compile"] = self.ma.compile_s
+            tmr.sections["device:tesserae_dispatch"] = self.ma.dispatch_s
+            tmr.sections.pop(ma_section, None)
+
         return svcs.to_list(), rois
 
     def write_outputs(self, vcf_path, accounting_path):

@@ -574,12 +574,34 @@ def _greedy_emit(cks: list, contigs: dict, roi: gr.CortexGraph, k: int) -> list:
     return out
 
 
+def link_kmer_flags(graph: gr.CortexGraph, links) -> np.ndarray:
+    """bool[N] over graph records: True where the kmer carries link records
+    in ANY of the given link sets — the per-kmer attribute the jump-table
+    build propagates along runs (build_jump_table flags) so walked lanes
+    learn link contact with zero host hashing."""
+    key_strs: set = set()
+    for lm in links:
+        idx = getattr(lm, "index", None)
+        key_strs |= set(idx if idx is not None
+                        else getattr(lm, "records", {}))
+    flags = np.zeros(graph.num_records, dtype=bool)
+    if key_strs:
+        canon, _ = km.canonicalize_codes(
+            km.strings_to_codes(sorted(key_strs)))
+        idxs = graph.find_records(km.pack_codes(canon, graph.kmer_size))
+        flags[idxs[idxs >= 0]] = True
+    return flags
+
+
 # linked Partition routes through the native C++ walker (exact unbounded
 # LinkStore, no compile) at or below this seed count; above it the device
 # jump-table path (link-free jump walks + exact linked replay of the walks
-# that touch link-carrying kmers) amortizes its build+compile.  Set from the
-# measured crossover in LINKBENCH_r04.json; tests set -1 to force the device.
-_NATIVE_LINK_THRESHOLD = 4096
+# that touch link-carrying kmers) takes over.  Measured: LINKBENCH_r04.json
+# — native wins at every size up to 65536 seeds (speedup_device 0.53-0.88;
+# ~47% of walks need the native replay regardless, and this rig's ~20 MB/s
+# tunnel taxes the device path's base materialization), with the trend
+# crossing over just beyond.  Tests set -1 to force the device path.
+_NATIVE_LINK_THRESHOLD = 65536
 
 
 def _partition_links_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
@@ -651,19 +673,12 @@ def _partition_links_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
     import jax.numpy as jnp
     from ..ops import cuckoo as cko
     from ..ops import walk_np as wnp
-    from ..caller.call import _kmer_hash_codes
 
     t0 = _time.perf_counter()
-    jt = cko.build_jump_table(graph.kmers, graph.edges[:, child_color], k)
+    jt = cko.build_jump_table(
+        graph.kmers, graph.edges[:, child_color], k,
+        flags=link_kmer_flags(graph, links))
     build_s = _time.perf_counter() - t0
-
-    key_strs: set = set()
-    for lm in links:
-        idx = getattr(lm, "index", None)
-        key_strs |= set(idx if idx is not None
-                        else getattr(lm, "records", {}))
-    link_keys = (np.unique(_kmer_hash_codes(
-        km.strings_to_codes(sorted(key_strs)))) if key_strs else None)
 
     rc = [km.revcomp(s) for s in cks]
     contigs = {}
@@ -671,32 +686,32 @@ def _partition_links_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
     t0 = _time.perf_counter()
     dev_steps = 0
     for lo in range(0, len(cks), chunk):
-        f_seeds = jnp.asarray(km.pack_codes(
-            km.strings_to_codes(cks[lo:lo + chunk]), k))
+        batch = cks[lo:lo + chunk]
+        f_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(batch), k))
         r_seeds = jnp.asarray(km.pack_codes(
             km.strings_to_codes(rc[lo:lo + chunk]), k))
-        fpk, _, fst, _ = cko.walk_forward_jumps(
+        fpk, fcy, fst, fsat, ftch, fej = cko.walk_forward_jumps(
             jt.buckets, jt.rows, f_seeds, k, max_walk)
-        rpk, _, rst, _ = cko.walk_forward_jumps(
+        rpk, rcy, rst, rsat, rtch, rej = cko.walk_forward_jumps(
             jt.buckets, jt.rows, r_seeds, k, max_walk)
         dev_steps += int(fst.sum()) + int(rst.sum())
-        for i in range(fpk.shape[0]):
-            s = cks[lo + i]
-            fwd = wnp.replay_jump_walk(s, fpk[i], int(fst[i]), max_walk)
-            back = wnp.replay_jump_walk(rc[lo + i], rpk[i], int(rst[i]),
-                                        max_walk)
-            path = (km.revcomp(back) if back else "") + s + fwd
-            if link_keys is not None:
-                codes = km.string_to_codes_permissive(path)
-                wins = km.kmerize_codes(codes, k)
-                canon, _ = km.canonicalize_codes(wins)
-                h = _kmer_hash_codes(canon)
-                pos = np.minimum(np.searchsorted(link_keys, h),
-                                 len(link_keys) - 1)
-                if bool(np.any(link_keys[pos] == h)):
-                    relink.append(lo + i)
-                    continue
-            contigs[s] = path
+        fwds = wnp.jump_extensions_batch(batch, fpk, fst, fcy, fsat,
+                                         max_walk)
+        backs = wnp.jump_extensions_batch(rc[lo:lo + chunk], rpk, rst,
+                                          rcy, rsat, max_walk)
+        for i, s in enumerate(batch):
+            # links can alter a link-free walk ONLY when its path touched a
+            # link-carrying kmer AND it stopped at a junction or around a
+            # cycle (dead ends and missing neighbors are link-immune; a
+            # saturated lane is replayed conservatively — the linked walk
+            # could legally continue past a hidden revisit)
+            f_need = ftch[i] and (fej[i] or fcy[i] or fsat[i])
+            r_need = rtch[i] and (rej[i] or rcy[i] or rsat[i])
+            if f_need or r_need:
+                relink.append(lo + i)
+            else:
+                contigs[s] = ((km.revcomp(backs[i]) if backs[i] else "")
+                              + s + fwds[i])
     walk_s = _time.perf_counter() - t0
 
     junctions_total = 0
@@ -783,16 +798,17 @@ def _partition_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
         for lo in range(start_at, len(cks), chunk):
             f_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(cks[lo:lo + chunk]), k))
             r_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(rc[lo:lo + chunk]), k))
-            fpk, _, fst, _ = cko.walk_forward_jumps(
+            fpk, fcy, fst, fsat, _, _ = cko.walk_forward_jumps(
                 jt.buckets, jt.rows, f_seeds, k, max_walk)
-            rpk, _, rst, _ = cko.walk_forward_jumps(
+            rpk, rcy, rst, rsat, _, _ = cko.walk_forward_jumps(
                 jt.buckets, jt.rows, r_seeds, k, max_walk)
-            for i in range(fpk.shape[0]):
-                s = cks[lo + i]
-                fwd_ext = wnp.replay_jump_walk(s, fpk[i], int(fst[i]), max_walk)
-                back_ext = wnp.replay_jump_walk(rc[lo + i], rpk[i],
-                                                int(rst[i]), max_walk)
-                contigs[s] = (km.revcomp(back_ext) if back_ext else "") + s + fwd_ext
+            fwds = wnp.jump_extensions_batch(cks[lo:lo + chunk], fpk, fst,
+                                             fcy, fsat, max_walk)
+            backs = wnp.jump_extensions_batch(rc[lo:lo + chunk], rpk, rst,
+                                              rcy, rsat, max_walk)
+            for i, s in enumerate(cks[lo:lo + chunk]):
+                contigs[s] = ((km.revcomp(backs[i]) if backs[i] else "")
+                              + s + fwds[i])
             if checkpoint and lo + chunk < len(cks):
                 ckpt.save_chunk_state(checkpoint, fp, lo + chunk,
                                       [contigs[s] for s in cks[:lo + chunk]])

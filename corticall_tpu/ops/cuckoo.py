@@ -704,14 +704,18 @@ def _pair_shr(hi: jnp.ndarray, lo: jnp.ndarray, s: jnp.ndarray):
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _jump_stage0(kmers_dev, edges_dev, ct_buckets, k: int):
+def _jump_stage0(kmers_dev, edges_dev, flags_dev, ct_buckets, k: int):
     """Single-step successor for every (kmer, orientation) row.
 
-    Returns per-row (hi, lo, length, cyc, ptr) where (hi, lo) hold the run
-    bases in LINEAR packing — base p at bits (62-2p) of the 64-bit pair —
-    and ptr is the successor row id (or _JUMP_END).  Orientation d=1 rows
-    walk from the revcomp of the stored kmer.  The edge byte comes from the
-    dense edges array (no hash); only the LANDING kmer needs one lookup."""
+    Returns per-row (hi, lo, length, cyc, flag, ptr) where (hi, lo) hold
+    the run bases in LINEAR packing — base p at bits (62-2p) of the 64-bit
+    pair — and ptr is the successor row id (or _JUMP_END).  Orientation
+    d=1 rows walk from the revcomp of the stored kmer.  The edge byte
+    comes from the dense edges array (no hash); only the LANDING kmer
+    needs one lookup.  `flag` starts as the per-kmer attribute bit
+    (flags_dev — e.g. "this kmer carries link records") and compose ORs
+    it along runs, so a walked lane knows whether ANY kmer on its path
+    has the attribute without any host-side hashing."""
     n, w = kmers_dev.shape
     e = edges_dev.astype(jnp.uint32)
 
@@ -730,7 +734,12 @@ def _jump_stage0(kmers_dev, edges_dev, ct_buckets, k: int):
         ptr = jnp.where(single & present & ~self_loop, dest, _JUMP_END)
         hi = jnp.where(length > 0, base.astype(jnp.uint32) << 30, 0)
         lo = jnp.zeros_like(hi)
-        return hi, lo, length, cyc, ptr
+        # stop cause bit: this kmer is a JUNCTION (out-degree >= 2) in the
+        # walk orientation — the one stop class links can alter (a link-free
+        # walk stops at its FIRST junction, so mid-path junctions never
+        # occur; dead-ends and missing neighbors are link-immune)
+        endj = nm >= 2
+        return hi, lo, length, cyc, flags_dev, endj, ptr
 
     # d=0: stored (canonical) orientation -> out-edges are the low nibble;
     # d=1: revcomp orientation -> the high nibble (walk kernels derive the
@@ -741,7 +750,7 @@ def _jump_stage0(kmers_dev, edges_dev, ct_buckets, k: int):
 
 
 @jax.jit
-def _jump_compose(hi, lo, length, cyc, ptr):
+def _jump_compose(hi, lo, length, cyc, flag, endj, ptr):
     """One doubling pass: rows holding a FULL run (of the current stage
     size) with a live pointer append their destination's run.  Exactness
     invariant maintained across passes: ptr != END  <=>  the run is full
@@ -750,45 +759,52 @@ def _jump_compose(hi, lo, length, cyc, ptr):
     live = ptr != _JUMP_END
     d = jnp.where(live, ptr, 0)
     bhi, blo = hi[d], lo[d]
-    blen, bcyc, bptr = length[d], cyc[d], ptr[d]
+    blen, bcyc, bflag, bendj, bptr = (length[d], cyc[d], flag[d], endj[d],
+                                      ptr[d])
     shi, slo = _pair_shr(bhi, blo, 2 * length)
     nhi = jnp.where(live, hi | shi, hi)
     nlo = jnp.where(live, lo | slo, lo)
     nlen = jnp.where(live, length + blen, length)
     nptr = jnp.where(live, bptr, ptr)
+    nflag = flag | (live & bflag)
+    nendj = jnp.where(live, bendj, endj)     # the stop cause is b's
     # cycle closed within the composed run: destination chain returned to
     # this row (catches cycle lengths dividing the stage size)
     ncyc = jnp.where(live, bcyc | (bptr == own), cyc)
     nptr = jnp.where(ncyc, _JUMP_END, nptr)
-    return nhi, nlo, nlen, ncyc, nptr
+    return nhi, nlo, nlen, ncyc, nflag, nendj, nptr
 
 
 @jax.jit
-def _jump_pack_rows(hi, lo, length, cyc, ptr):
-    meta = length | (cyc.astype(jnp.uint32) << 31)
+def _jump_pack_rows(hi, lo, length, cyc, flag, endj, ptr):
+    meta = (length | (endj.astype(jnp.uint32) << 29)
+            | (flag.astype(jnp.uint32) << 30)
+            | (cyc.astype(jnp.uint32) << 31))
     return jnp.stack([hi, lo, ptr, meta], axis=1)
 
 
-def _jump_rows_device(kmers_dev, edges_dev, ct_buckets, k: int):
+def _jump_rows_device(kmers_dev, edges_dev, flags_dev, ct_buckets, k: int):
     """Small jitted programs instead of one fused giant: stage0 compiles
     once per shape bucket and the SAME compiled compose program runs all
     log2(JUMP_MAX) doubling passes — the remote AOT compiler charges per
     program, so splitting cuts compile wall-clock several-fold while
     adding only ~7 cheap dispatches."""
-    (fh, fl, fn, fc, fp), (rh, rl, rn, rc, rp) = _jump_stage0(
-        kmers_dev, edges_dev, ct_buckets, k)
+    (fh, fl, fn, fc, ff, fj, fp), (rh, rl, rn, rc, rf, rj, rp) = _jump_stage0(
+        kmers_dev, edges_dev, flags_dev, ct_buckets, k)
 
     def interleave(a, b):
         return jnp.stack([a, b], axis=1).reshape(-1, *a.shape[1:])
 
     hi, lo = interleave(fh, rh), interleave(fl, rl)
-    length, cyc, ptr = (interleave(fn, rn), interleave(fc, rc),
-                        interleave(fp, rp))
+    length, cyc, flag, endj, ptr = (
+        interleave(fn, rn), interleave(fc, rc), interleave(ff, rf),
+        interleave(fj, rj), interleave(fp, rp))
     stage = 1
     while stage < JUMP_MAX:
-        hi, lo, length, cyc, ptr = _jump_compose(hi, lo, length, cyc, ptr)
+        hi, lo, length, cyc, flag, endj, ptr = _jump_compose(
+            hi, lo, length, cyc, flag, endj, ptr)
         stage *= 2
-    return _jump_pack_rows(hi, lo, length, cyc, ptr)
+    return _jump_pack_rows(hi, lo, length, cyc, flag, endj, ptr)
 
 
 def _pow2_pad(n: int, lo: int = 4096) -> int:
@@ -800,7 +816,8 @@ def _pow2_pad(n: int, lo: int = 4096) -> int:
 
 def build_jump_table(kmers: np.ndarray, edges: np.ndarray, k: int,
                      load_factor: float = 0.5,
-                     chunk: int = 262144) -> JumpTable:
+                     chunk: int = 262144,
+                     flags: np.ndarray | None = None) -> JumpTable:
     """Pointer-doubling jump-table build, fully on device (see the section
     comment).  `rows` and `buckets` are returned as DEVICE arrays — the
     walker consumes them in place; nothing round-trips through the host.
@@ -808,20 +825,30 @@ def build_jump_table(kmers: np.ndarray, edges: np.ndarray, k: int,
     share a handful of compiled programs (pad rows duplicate row 0; they
     are unreachable — seed resolution and dest pointers only ever produce
     real ids from the hash table).  `chunk` is accepted for backward
-    compatibility and unused."""
+    compatibility and unused.
+
+    flags: optional bool[N] per-kmer attribute (e.g. "carries link
+    records"); the build ORs it along runs and the walker ORs it along
+    walks, so walk_forward_jumps' `touched` output reports, per lane,
+    whether any kmer on its path carried the attribute — with no host
+    hashing (the linked-Partition filter)."""
     n, w = kmers.shape
     ids = np.arange(n, dtype=np.uint32)
     ct = build_cuckoo(kmers, ids, load_factor=load_factor,
                       bucket_size=2, primary_bias=True)
     ct_buckets = jnp.asarray(ct.buckets)
+    if flags is None:
+        flags = np.zeros(n, dtype=bool)
     npad = _pow2_pad(n)
     if npad != n:
         kmers = np.concatenate(
             [kmers, np.repeat(kmers[:1], npad - n, axis=0)])
         edges = np.concatenate(
             [edges, np.zeros(npad - n, dtype=edges.dtype)])
+        flags = np.concatenate([flags, np.zeros(npad - n, dtype=bool)])
     rows = _jump_rows_device(jnp.asarray(kmers),
                              jnp.asarray(edges.astype(np.uint8)),
+                             jnp.asarray(flags.astype(bool)),
                              ct_buckets, k)
     return JumpTable(buckets=ct_buckets, rows=rows, words=w)
 
@@ -867,11 +894,15 @@ def _jump_step_fn(rows, num_steps: int):
     clamps a run mid-jump."""
 
     def step(state, _):
-        row, active, emitcnt, cycled, saved, power, lam = state
+        (row, active, emitcnt, cycled, saved, power, lam, touched,
+         endj) = state
         r = rows[jnp.maximum(row, 0)]                      # [B, 4]
         hi, lo, ptr, meta = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
         run_len = (meta & jnp.uint32(0x3F)).astype(jnp.int32)
         run_cyc = (meta >> jnp.uint32(31)) != 0
+        touched = touched | (active & (((meta >> jnp.uint32(30)) & 1) != 0))
+        # stop cause of the lane = the endj bit of its final gathered row
+        endj = jnp.where(active, ((meta >> jnp.uint32(29)) & 1) != 0, endj)
 
         m = jnp.minimum(run_len, num_steps - emitcnt)
         emit = active & (m > 0)
@@ -909,7 +940,8 @@ def _jump_step_fn(rows, num_steps: int):
 
         row = jnp.where(advance, nxt, row)
         return (row, advance, emitcnt + mm,
-                cycled | is_cycle | ends_cycle, saved, power, lam), (e_hi, e_lo)
+                cycled | is_cycle | ends_cycle, saved, power, lam,
+                touched, endj), (e_hi, e_lo)
 
     return step
 
@@ -918,7 +950,8 @@ def _jump_init(seed_rows):
     b = seed_rows.shape[0]
     return (seed_rows, seed_rows >= 0, jnp.zeros(b, jnp.int32),
             jnp.zeros(b, bool), seed_rows, jnp.ones(b, jnp.int32),
-            jnp.zeros(b, jnp.int32))
+            jnp.zeros(b, jnp.int32), jnp.zeros(b, bool),
+            jnp.zeros(b, bool))
 
 
 def jump_iters(num_steps: int) -> int:
@@ -956,9 +989,16 @@ def _jump_walk(rows, seed_rows, num_steps: int):
 def walk_forward_jumps(buckets, rows, seeds, k: int, num_steps: int):
     """Jump-table walk — the production walk entry point.  Returns
     (packed uint32[B, 2T], cycled bool[B], steps int32[B], saturated
-    bool[B]): per-lane linearly packed emitted bases (2 bits each,
-    big-endian; decode with ops/walk_np.decode_jump_packed / replay with
-    replay_jump_walk).
+    bool[B], touched bool[B], ends_junction bool[B]): per-lane linearly
+    packed emitted bases (2 bits each, big-endian; decode with
+    ops/walk_np.decode_jump_packed / replay with replay_jump_walk).
+    `touched` is True when any kmer on the lane's walked path carried the
+    build-time flag bit (see build_jump_table's `flags` — the
+    linked-Partition filter), including the stop kmer.  `ends_junction` is
+    True when the lane stopped AT a junction (out-degree >= 2) — the only
+    stop class links can alter besides cycles, since a link-free walk
+    stops at its first junction (dead ends and missing neighbors are
+    link-immune).
 
     `saturated` marks lanes still active when `steps` hit the num_steps cap:
     the lane may sit on an undetected cycle (jump-stride Brent needs
@@ -982,7 +1022,7 @@ def walk_forward_jumps(buckets, rows, seeds, k: int, num_steps: int):
     steps = np.asarray(state[2])[:b]
     saturated = (steps >= num_steps) & ~np.asarray(state[3])[:b]
     return (np.asarray(packed)[:b], np.asarray(state[3])[:b], steps,
-            saturated)
+            saturated, np.asarray(state[7])[:b], np.asarray(state[8])[:b])
 
 
 def walk_forward_spec_chunked(buckets, seeds, k: int, num_steps: int,

@@ -233,6 +233,13 @@ class TesseraeDevice(tz.Tesserae):
     run costs a handful of compiles, not one per section.
     """
 
+    # per-instance phase accounting: first call per (s_count, size) bucket
+    # is charged to compile_s (the remote AOT compile dominates it), later
+    # calls to dispatch_s — the Call stage reports both so the device phase
+    # is attributable (r03 weak item #5)
+    compile_s = 0.0
+    dispatch_s = 0.0
+
     # HBM budget for one section's DP+traceback state.  The fused kernel
     # holds ~4 int32 [s, W, Q] traceback arrays live; a pathological section
     # (e.g. a 32 kb query against 16 long targets) can demand tens of GB —
@@ -243,11 +250,18 @@ class TesseraeDevice(tz.Tesserae):
     def align(self, query: str, targets: dict) -> list:
         if not targets or not query:
             raise ValueError("Tesserae.align requires a non-empty query and targets")
+        import time as _time
+        t_start = _time.perf_counter()
         names = list(targets.keys())
         seqs = [targets[n] for n in names]
         s_count = _bucket(len(seqs), 2)
         l1 = len(query)
         est_maxl = _bucket(max([l1] + [len(t) for t in seqs]))
+        bucket_key = (s_count, est_maxl)
+        if not hasattr(self, "_buckets_seen"):
+            self._buckets_seen = set()
+            self.compile_s = 0.0
+            self.dispatch_s = 0.0
         est_bytes = 4 * 4 * (s_count + 1) * (est_maxl + 1) * (est_maxl + 1)
         if est_bytes > self.HBM_BUDGET_BYTES:
             host = tz.Tesserae(self.del_, self.eps, self.rho, self.term)
@@ -295,6 +309,13 @@ class TesseraeDevice(tz.Tesserae):
 
         self.llk = float(max_r) + math.log(self.term)
         self.combined_llk += self.llk
+
+        dt = _time.perf_counter() - t_start
+        if bucket_key in self._buckets_seen:
+            self.dispatch_s += dt
+        else:
+            self._buckets_seen.add(bucket_key)
+            self.compile_s += dt
 
         n = int(n)
         cells = [tuple(int(x) for x in row) for row in cells_arr[:n - 1]]

@@ -111,6 +111,52 @@ def replay_jump_walk(seed: str, words: np.ndarray, steps: int,
                        max_branch_length)
 
 
+_BASE_LUT = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _has_revisit(seed: str, codes: np.ndarray, k: int) -> bool:
+    """True when the walk-oriented kmer cursor revisits any position along
+    seed+ext — the only case where the raw recording differs from the
+    seen-set oracle.  Vectorized polynomial hash over all windows; a hash
+    collision only costs a spurious dict replay (safe)."""
+    from .. import kmer as km
+    seed_codes = km.string_to_codes_permissive(seed)
+    path = np.concatenate([seed_codes, codes.astype(np.uint8)])
+    wins = km.kmerize_codes(path, k)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    p = np.empty(k, np.uint64)
+    p[0] = 1
+    for i in range(1, k):
+        p[i:i + 1] = p[i - 1:i] * mult
+    h = (wins.astype(np.uint64) * p[None, :]).sum(axis=1, dtype=np.uint64)
+    return len(np.unique(h)) != len(h)
+
+
+def jump_extensions_batch(seeds: list, packed: np.ndarray, steps: np.ndarray,
+                          cycled: np.ndarray, saturated: np.ndarray,
+                          max_branch_length: int = 75000) -> list:
+    """All lanes' extensions from one walk_forward_jumps result, decoded in
+    one vectorized pass.  Linear recordings convert straight to strings.
+    Saturated (cap-length) lanes are almost always genuinely linear — a
+    vectorized revisit check proves it; only lanes with an actual cursor
+    revisit (true cycles) pay the per-kmer seen-set replay."""
+    w = np.asarray(packed, dtype=np.uint32)
+    fields = ((w[:, :, None] >> _JUMP_FIELD_SHIFTS[None, None, :]) & 3
+              ).astype(np.uint8)
+    flat = fields.reshape(w.shape[0], -1)
+    out = []
+    for i, seed in enumerate(seeds):
+        n = int(steps[i])
+        codes = flat[i, :n]
+        if cycled[i] or (saturated[i]
+                         and _has_revisit(seed, codes, len(seed))):
+            out.append(replay_walk(seed, codes.astype(np.int8), True,
+                                   max_branch_length))
+        else:
+            out.append(_BASE_LUT[codes].tobytes().decode())
+    return out
+
+
 def replay_run_walk(seed: str, w0: np.ndarray, w1: np.ndarray,
                     max_branch_length: int = 75000) -> str:
     """Exact walk extension from a run-kernel recording.

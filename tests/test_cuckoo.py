@@ -310,7 +310,7 @@ def test_jump_table_matches_run_table():
     for cap in (7, 300):
         o0, o1, ocy, os_ = ck.walk_forward_runs(
             jnp.asarray(rt.buckets), jnp.asarray(rt.runs), seeds, 31, cap)
-        packed, jcy, js, _ = ck.walk_forward_jumps(
+        packed, jcy, js, _, _, _ = ck.walk_forward_jumps(
             jt.buckets, jt.rows, seeds, 31, cap)
         np.testing.assert_array_equal(np.asarray(os_), js)
         np.testing.assert_array_equal(np.asarray(ocy), jcy)
@@ -326,7 +326,7 @@ def test_jump_table_missing_seed_inactive():
     missing = "A" * 31
     seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(
         [genome[:31], missing]), 31))
-    packed, cy, steps, sat = ck.walk_forward_jumps(
+    packed, cy, steps, sat, _, _ = ck.walk_forward_jumps(
         jt.buckets, jt.rows, seeds, 31, 50)
     assert steps[1] == 0 and not cy[1]
     assert steps[0] > 0
@@ -358,7 +358,7 @@ def test_jump_table_cycles():
         seed_strs = [hap[:k], hap[7:7 + k]]
         seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(seed_strs), k))
         for cap in (3000, len(cyc) + 50):
-            packed, jcy, js, jsat = ck.walk_forward_jumps(
+            packed, jcy, js, jsat, _, _ = ck.walk_forward_jumps(
                 jt.buckets, jt.rows, seeds, k, cap)
             sb, sc, ss = ck.walk_forward_spec_chunked(
                 jnp.asarray(ct.buckets), seeds, k, cap)

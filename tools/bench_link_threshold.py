@@ -35,7 +35,6 @@ def main():
     from corticall_tpu.io import ctx as ctxio, links as lkio
     from corticall_tpu.ops import cuckoo as cko
     from corticall_tpu.ops import walk_np as wnp
-    from corticall_tpu.caller.call import _kmer_hash_codes
     import jax
     import jax.numpy as jnp
 
@@ -62,40 +61,28 @@ def main():
     native = nat.LinksWalkerNative(g, [child], links)
     native_build = time.perf_counter() - t0
 
+    from corticall_tpu.commands.core import link_kmer_flags
     t0 = time.perf_counter()
-    jt = cko.build_jump_table(g.kmers, g.edges[:, child], k)
+    jt = cko.build_jump_table(g.kmers, g.edges[:, child], k,
+                              flags=link_kmer_flags(g, links))
     jax.block_until_ready(jt.rows)
     jump_build = time.perf_counter() - t0
-
-    key_strs = set()
-    for lm in links:
-        idx = getattr(lm, "index", None)
-        key_strs |= set(idx if idx is not None else getattr(lm, "records", {}))
-    link_keys = (np.unique(_kmer_hash_codes(
-        km.strings_to_codes(sorted(key_strs)))) if key_strs else None)
 
     def device_assemble(seeds, rcs):
         f_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(seeds), k))
         r_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(rcs), k))
-        fpk, _, fst, _ = cko.walk_forward_jumps(
+        fpk, fcy, fst, fsat, ftch, fej = cko.walk_forward_jumps(
             jt.buckets, jt.rows, f_seeds, k, num_steps)
-        rpk, _, rst, _ = cko.walk_forward_jumps(
+        rpk, rcy, rst, rsat, rtch, rej = cko.walk_forward_jumps(
             jt.buckets, jt.rows, r_seeds, k, num_steps)
-        relink, total = [], 0
-        for i, s in enumerate(seeds):
-            fwd = wnp.replay_jump_walk(s, fpk[i], int(fst[i]), num_steps)
-            back = wnp.replay_jump_walk(rcs[i], rpk[i], int(rst[i]), num_steps)
-            path = (km.revcomp(back) if back else "") + s + fwd
-            total += len(path)
-            if link_keys is not None:
-                codes = km.string_to_codes_permissive(path)
-                wins = km.kmerize_codes(codes, k)
-                canon, _ = km.canonicalize_codes(wins)
-                h = _kmer_hash_codes(canon)
-                pos = np.minimum(np.searchsorted(link_keys, h),
-                                 len(link_keys) - 1)
-                if bool(np.any(link_keys[pos] == h)):
-                    relink.append(i)
+        fwds = wnp.jump_extensions_batch(seeds, fpk, fst, fcy, fsat,
+                                         num_steps)
+        backs = wnp.jump_extensions_batch(rcs, rpk, rst, rcy, rsat,
+                                          num_steps)
+        relink = [i for i in range(len(seeds))
+                  if (ftch[i] and (fej[i] or fcy[i] or fsat[i]))
+                  or (rtch[i] and (rej[i] or rcy[i] or rsat[i]))]
+        total = sum(len(f) + len(b) for f, b in zip(fwds, backs))
         if relink:
             f, _ = native.walk([seeds[i] for i in relink], num_steps)
             bk, _ = native.walk([rcs[i] for i in relink], num_steps)
