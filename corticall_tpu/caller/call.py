@@ -116,6 +116,9 @@ class Caller:
         # by the pipeline's call stage — the reference logs only a total
         # (Dispatch.java:75-84)
         self.timer = SectionTimer()
+        # batched contig-aligner accounting (label_targets): device-scored
+        # candidate windows vs host tracebacks
+        self.align_stats: dict = {}
 
     @staticmethod
     def _make_tesserae(mode: str, del_, eps, rho, term):
@@ -541,25 +544,51 @@ class Caller:
         return sorted(a, key=lambda s: (-(s.end - s.start), s.nm))
 
     def trim_query(self, ws: list, targets: dict, rois: set):
+        """Same semantics as the reference's trimQuery (Call.java:1946-1986)
+        but vectorized: the old per-target per-window python loop (string
+        slice + revcomp + dict probe per window) dominated the Call stage's
+        host time; here the section's canonical kmers become one sorted key
+        array and every target kmerizes/canonicalizes in numpy."""
         first_index, last_index = None, 0
         first_novel, last_novel = -1, -1
-        pos: dict = {}
         for i, v in enumerate(ws):
-            pos.setdefault(v.canonical, []).append(i)
             if v.canonical in rois:
                 if first_novel == -1:
                     first_novel = i
                 last_novel = i
 
+        k = self.k
+        keys = km.words_to_bytes_be(km.pack_codes(km.canonicalize_codes(
+            km.strings_to_codes([v.kmer for v in ws]))[0], k), k)
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        uniq, ustart = np.unique(sk, return_index=True)
+        uend = np.append(ustart[1:], len(sk))
+        firsts = np.array([order[s:e].min() for s, e in zip(ustart, uend)],
+                          dtype=np.int64)
+        lasts = np.array([order[s:e].max() for s, e in zip(ustart, uend)],
+                         dtype=np.int64)
+
         for target in targets.values():
-            for i in range(len(target) - self.k + 1):
-                ck = min(target[i:i + self.k], km.revcomp(target[i:i + self.k]))
-                if ck in pos:
-                    fi, li = pos[ck][0], pos[ck][-1]
-                    if first_index is None or fi < first_index:
-                        first_index = fi
-                    if li > last_index:
-                        last_index = li
+            codes = km.string_to_codes_permissive(target)
+            if len(codes) < k:
+                continue
+            wins = km.kmerize_codes(codes, k)
+            ok = (wins < 4).all(axis=1)
+            if not ok.any():
+                continue
+            canon, _ = km.canonicalize_codes(wins[ok])
+            tk = km.words_to_bytes_be(km.pack_codes(canon, k), k)
+            ix = np.minimum(np.searchsorted(uniq, tk), len(uniq) - 1)
+            hit = uniq[ix] == tk
+            if not hit.any():
+                continue
+            fi = int(firsts[ix[hit]].min())
+            li = int(lasts[ix[hit]].max())
+            if first_index is None or fi < first_index:
+                first_index = fi
+            if li > last_index:
+                last_index = li
 
         if first_index is None:
             first_index = 2 ** 31 - 1
@@ -570,20 +599,49 @@ class Caller:
         return first_index, last_index + 1, to_contig(ws[first_index:last_index + 1])
 
     def label_targets(self, targets: dict) -> dict:
-        labelled: dict = {}
-        target_num = 0
+        """Target labelling via the batched whole-contig aligner
+        (models/contig_aligner.py, the lastz-replacement path): candidate
+        windows of every target in the section are scored in one device
+        banded-SW dispatch, only winners are Gotoh-tracebacked on host.
+        Same ranking/sort semantics as sort_alignments (Call.java:1920-1944:
+        length desc, NM asc)."""
+        from ..models.contig_aligner import align_contigs
+
+        by_back: dict = {}
+        order = []
         for c in targets:
             back = c.split(":")[0]
             if back in self.references:
-                ss = self.sort_alignments(back, targets[c])
-                if ss:
-                    s = ss[0]
-                    label = (f"{back}:{s.contig}:{s.start}-{s.end}:"
-                             f"{'-' if s.negative else '+'}")
-                    labelled[label] = targets[c]
-                else:
-                    labelled[f"{back}:unknown{target_num}"] = targets[c]
-                    target_num += 1
+                by_back.setdefault(back, {})[c] = targets[c]
+                order.append(c)
+        results: dict = {}
+        for back, items in by_back.items():
+            stats: dict = {}
+            aligned = align_contigs(items, {back: self.references[back]},
+                                    band=64, stats=stats)
+            self.align_stats["device_scored_windows"] = (
+                self.align_stats.get("device_scored_windows", 0)
+                + stats.get("device_scored_windows", 0))
+            self.align_stats["host_tracebacks"] = (
+                self.align_stats.get("host_tracebacks", 0)
+                + stats.get("host_tracebacks", 0))
+            for c, al in aligned.items():
+                results[c] = sorted(al, key=lambda s: (-(s.end - s.start),
+                                                       s.nm))
+
+        labelled: dict = {}
+        target_num = 0
+        for c in order:
+            back = c.split(":")[0]
+            ss = results.get(c, [])
+            if ss:
+                s = ss[0]
+                label = (f"{back}:{s.contig}:{s.start}-{s.end}:"
+                         f"{'-' if s.negative else '+'}")
+                labelled[label] = targets[c]
+            else:
+                labelled[f"{back}:unknown{target_num}"] = targets[c]
+                target_num += 1
         return labelled
 
     # ------------------------------------------------------------------
@@ -1353,8 +1411,9 @@ class Caller:
 
                     if not targets:
                         continue
-                    with tmr.section("host:trim_label"):
+                    with tmr.section("host:trim_query"):
                         tq_start, tq_stop, tq_seq = self.trim_query(ws, targets, rois)
+                    with tmr.section("mixed:label_targets"):
                         labelled = self.label_targets(targets)
                     if not labelled:
                         continue

@@ -433,6 +433,38 @@ def cmd_filter_partitions(args):
             f.write(f">{header}\n{seq}\n")
 
 
+def cmd_align_contigs(args):
+    """Whole-contig alignment — the lastz replacement
+    (models/contig_aligner.py; LastzAligner.java:15-29 role).  Emits a TSV
+    of placements: contig, reference, chrom, start, end, strand, score,
+    mapq, NM, cigar."""
+    import json as _json
+    import sys as _sys
+    from ..io import fasta as faio
+    from ..models.contig_aligner import align_contigs
+    from ..models.reference_index import IndexedReference
+    contigs = dict(faio.read_fasta(args.contigs))
+    references = {}
+    for spec in args.references:
+        name, path = spec.split(":", 1)
+        references[name] = IndexedReference(dict(faio.read_fasta(path)))
+    stats: dict = {}
+    out = align_contigs(contigs, references, band=args.band, stats=stats)
+    with _out_stream(args.out) as f:
+        f.write("#contig\treference\tchrom\tstart\tend\tstrand\tscore"
+                "\tmapq\tnm\tcigar\n")
+        for qn in out:
+            for a in out[qn]:
+                f.write("\t".join([
+                    qn, getattr(a, "reference", "?"), a.contig,
+                    str(a.start), str(a.end), "-" if a.negative else "+",
+                    f"{a.score:g}", str(a.mapq), str(a.nm), a.cigar,
+                ]) + "\n")
+    print(_json.dumps({"contigs": len(contigs),
+                       "aligned": sum(1 for q in out if out[q]), **stats}),
+          file=_sys.stderr)
+
+
 def cmd_filter_calls(args):
     """The manuscript's FDR protocol over a Call VCF (the reference ships
     FilterCalls as an empty stub, FilterCalls.java:10-21; the rule lives in
@@ -871,6 +903,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--contigs", "-c", required=True)
     sp.add_argument("--roi", "-r", required=True)
     sp.add_argument("--novel_kmer_threshold", "-nt", type=int, default=5)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = add("AlignContigs", cmd_align_contigs,
+             help="whole-contig alignment to drafts (lastz replacement)")
+    sp.add_argument("--contigs", "-c", required=True)
+    sp.add_argument("--references", "-R", action="append", required=True,
+                    help="name:fasta drafts")
+    sp.add_argument("--band", "-B", type=int, default=512)
     sp.add_argument("--out", "-o", default="-")
 
     sp = add("FilterCalls", cmd_filter_calls,

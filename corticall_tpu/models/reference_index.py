@@ -263,15 +263,12 @@ class IndexedReference:
         return out
 
     # ------------------------------------------------------------------
-    def align(self, query: str, max_chains: int = 8, band: int = 64) -> list:
-        """Seed-chain-extend alignment; returns Alignment list sorted by score.
-
-        Mapping quality: 60 for a unique best chain, 0 when the best score is
-        tied (the uniqueness contract Call and FindContamination rely on —
-        `getMappingQuality() > 0` means confidently placed).
-        """
-        if isinstance(query, list):
-            return [self.align(q) for q in query]
+    def candidate_windows(self, query: str, max_chains: int = 8,
+                          band: int = 64) -> list:
+        """Seed-chain candidates: [(name, negative, r0, window_str)].
+        The seeding/chaining half of align(), exposed so batched aligners
+        (models/contig_aligner.py) can score many queries' windows in one
+        device dispatch before host-tracing only the winners."""
         hits: dict = {}
         step = max(1, (len(query) - SEED_K) // 16) if len(query) > SEED_K else 1
         for negative in (False, True):
@@ -294,9 +291,8 @@ class IndexedReference:
             best_seeds = len(chains[0][1])
             chains = [c for c in chains
                       if len(c[1]) >= max(1, int(0.25 * best_seeds))]
-        chains = chains[:max_chains]
-        alignments = []
-        for (ci, negative, _), seeds in chains:
+        out = []
+        for (ci, negative, _), seeds in chains[:max_chains]:
             name = self.names[ci]
             ref = self.seqs[name]
             qs = km.revcomp(query) if negative else query
@@ -304,36 +300,48 @@ class IndexedReference:
             diag = rpos - qoff
             r0 = max(0, diag - band)
             r1 = min(len(ref), diag + len(qs) + band)
-            window = ref[r0:r1]
-            H, E, F, tbH, tbE, tbF = _gotoh(qs, window, local=True)
-            i, j = np.unravel_index(int(np.argmax(H)), H.shape)
-            score = float(H[i, j])
-            aq, as_, ops, i0, j0 = _traceback(qs, window, H, tbH, tbE, tbF,
-                                              int(i), int(j), True)
-            # Z-drop analog (bwa-mem stops extension when the score falls
-            # off its running max; plain local SW happily bridges a mosaic
-            # breakpoint with a gap-riddled tail): trim the alignment to its
-            # best-scoring prefix, so NAHR-mosaic contigs place as SPLIT
-            # alignments — one per donor locus — like the lastz role needs
-            aq, as_, ops, i0, j0, i, j, score = _trim_to_best_prefix(
-                aq, as_, ops, i0, j0, score)
-            nm = sum(1 for a, b in zip(aq, as_) if a != b)
-            cigar_ops = []
-            if i0 > 0:
-                cigar_ops.append(f"{i0}S")
-            cigar_ops.append(_rle_cigar(ops))
-            if int(i) < len(qs):
-                cigar_ops.append(f"{len(qs) - int(i)}S")
-            # quality gates (bwa-mem reports nothing like these): minimum
-            # score (bwa -T 30 analog) and a loose identity floor — a true
-            # placement even in diverged context has nm/len in the percents,
-            # a spurious-chain extension is mostly edits
-            if score < 30 or nm > 0.3 * max(1, int(i) - i0):
-                continue
-            alignments.append(Alignment(
-                contig=name, start=r0 + j0 + 1, end=r0 + int(j), negative=negative,
-                mapq=0, nm=nm, cigar="".join(cigar_ops), read=qs, score=score))
+            out.append((name, negative, r0, ref[r0:r1]))
+        return out
 
+    def extend_window(self, query: str, name: str, negative: bool,
+                      r0: int, window: str):
+        """Gotoh-extend one candidate window into an Alignment (or None if
+        it fails the score/identity gates) — the extension half of align()."""
+        qs = km.revcomp(query) if negative else query
+        H, E, F, tbH, tbE, tbF = _gotoh(qs, window, local=True)
+        i, j = np.unravel_index(int(np.argmax(H)), H.shape)
+        score = float(H[i, j])
+        aq, as_, ops, i0, j0 = _traceback(qs, window, H, tbH, tbE, tbF,
+                                          int(i), int(j), True)
+        # Z-drop analog (bwa-mem stops extension when the score falls
+        # off its running max; plain local SW happily bridges a mosaic
+        # breakpoint with a gap-riddled tail): trim the alignment to its
+        # best-scoring prefix, so NAHR-mosaic contigs place as SPLIT
+        # alignments — one per donor locus — like the lastz role needs
+        aq, as_, ops, i0, j0, i, j, score = _trim_to_best_prefix(
+            aq, as_, ops, i0, j0, score)
+        nm = sum(1 for a, b in zip(aq, as_) if a != b)
+        cigar_ops = []
+        if i0 > 0:
+            cigar_ops.append(f"{i0}S")
+        cigar_ops.append(_rle_cigar(ops))
+        if int(i) < len(qs):
+            cigar_ops.append(f"{len(qs) - int(i)}S")
+        # quality gates (bwa-mem reports nothing like these): minimum
+        # score (bwa -T 30 analog) and a loose identity floor — a true
+        # placement even in diverged context has nm/len in the percents,
+        # a spurious-chain extension is mostly edits
+        if score < 30 or nm > 0.3 * max(1, int(i) - i0):
+            return None
+        return Alignment(
+            contig=name, start=r0 + j0 + 1, end=r0 + int(j),
+            negative=negative, mapq=0, nm=nm, cigar="".join(cigar_ops),
+            read=qs, score=score)
+
+    @staticmethod
+    def rank(alignments: list) -> list:
+        """Sort by score desc; mapq 60 for a unique best, 0 on ties (the
+        uniqueness contract Call and FindContamination rely on)."""
         alignments.sort(key=lambda a: -a.score)
         if alignments:
             best = alignments[0].score
@@ -341,3 +349,16 @@ class IndexedReference:
             for a in alignments:
                 a.mapq = 60 if (a.score == best and tied == 1) else 0
         return alignments
+
+    def align(self, query: str, max_chains: int = 8, band: int = 64) -> list:
+        """Seed-chain-extend alignment; returns Alignment list sorted by
+        score (see candidate_windows/extend_window/rank)."""
+        if isinstance(query, list):
+            return [self.align(q) for q in query]
+        alignments = []
+        for name, negative, r0, window in self.candidate_windows(
+                query, max_chains, band):
+            a = self.extend_window(query, name, negative, r0, window)
+            if a is not None:
+                alignments.append(a)
+        return self.rank(alignments)
