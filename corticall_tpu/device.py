@@ -116,6 +116,15 @@ def warmup_async() -> None:
                 return bases[rng.integers(0, 4, n)].tobytes().decode()
             ma = TesseraeDevice(0.35, 0.90, 6e-4, 1e-3)
             ma.align(seq(40), {"w:a": seq(40), "w:b": seq(40)})
+            # the contig-aligner's single fixed-shape banded-SW program
+            from .ops import sw_device as swd
+            from .models import contig_aligner as ca
+            import jax.numpy as jnp
+            qc = swd.codes_batch([seq(64)] * 2, ca.DEV_Q)
+            sc = swd.codes_batch([seq(64)] * 2, ca.DEV_S)
+            r = swd.sw_banded_pallas(jnp.asarray(qc), jnp.asarray(sc),
+                                     band=ca.DEV_BAND)
+            np.asarray(r[0])
         except Exception:
             pass  # warmup is best-effort; real calls compile on demand
 

@@ -21,6 +21,14 @@ import numpy as np
 from .. import kmer as km
 
 
+# the single compiled device shape (see align_contigs step 2) and the
+# minimum batch that amortizes a dispatch through the tunnel
+DEV_Q = 4096
+DEV_S = 8192
+DEV_BAND = 512
+MIN_DEVICE_BATCH = 8
+
+
 def _device_ok() -> bool:
     try:
         import jax
@@ -49,54 +57,45 @@ def align_contigs(queries: dict, references: dict, band: int = 512,
                     qseq, max_chains=max_chains, band=band):
                 cand[qn].append((ir, rn, name, neg, r0, window))
 
-    # 2. batched device pre-score: one kernel invocation per shape bucket
-    # scores every candidate window; per query only candidates within
-    # drop_ratio of its device-best go to host traceback
+    # 2. batched device pre-score at ONE fixed shape: every distinct
+    # XLA/Mosaic program costs a compile through the remote AOT tunnel, so
+    # all candidates pad into a single (DEV_Q, DEV_S) bucket — one compile
+    # per process, then each batch is one dispatch.  Engaged only when the
+    # batch is big enough to amortize the dispatch and every window fits;
+    # per query only candidates within drop_ratio of its device-best go to
+    # host traceback.
     survivors: dict = {qn: list(range(len(cand[qn]))) for qn in cand}
     n_scored = 0
-    if use_device:
+    items = [(qn, ci) for qn in cand for ci in range(len(cand[qn]))
+             if len(cand[qn]) > 1]
+    fits = items and all(len(queries[qn]) <= DEV_Q
+                         and len(cand[qn][ci][5]) <= DEV_S
+                         for qn, ci in items)
+    if use_device and fits and len(items) >= MIN_DEVICE_BATCH:
         from ..ops import sw_device as swd
         import jax.numpy as jnp
 
-        items = [(qn, ci) for qn in cand for ci in range(len(cand[qn]))
-                 if len(cand[qn]) > 1]
-        if items:
-            def bucket(n, lo=256):
-                b = lo
-                while b < n:
-                    b *= 2
-                return b
-
-            by_shape: dict = {}
-            for qn, ci in items:
-                qlen = len(queries[qn])
-                wlen = len(cand[qn][ci][5])
-                by_shape.setdefault((bucket(qlen), bucket(wlen)),
-                                    []).append((qn, ci))
-            scores: dict = {}
-            for (qb, wb), group in by_shape.items():
-                qs_list, ws_list = [], []
-                for qn, ci in group:
-                    ir, rn, name, neg, r0, window = cand[qn][ci]
-                    qseq = queries[qn]
-                    qs_list.append(km.revcomp(qseq) if neg else qseq)
-                    ws_list.append(window)
-                qcodes = swd.codes_batch(qs_list, qb)
-                wcodes = swd.codes_batch(ws_list, wb)
-                sc, _, _ = swd.sw_banded_pallas(
-                    jnp.asarray(qcodes), jnp.asarray(wcodes), band=band)
-                sc = np.asarray(sc)
-                n_scored += len(group)
-                for (qn, ci), s in zip(group, sc):
-                    scores[(qn, ci)] = float(s)
-            for qn in cand:
-                if len(cand[qn]) <= 1:
-                    continue
-                ss = [scores.get((qn, ci), 0.0)
-                      for ci in range(len(cand[qn]))]
-                best = max(ss) if ss else 0.0
-                survivors[qn] = [ci for ci, s in enumerate(ss)
-                                 if s >= 0.8 * best]
+        qs_list, ws_list = [], []
+        for qn, ci in items:
+            ir, rn, name, neg, r0, window = cand[qn][ci]
+            qseq = queries[qn]
+            qs_list.append(km.revcomp(qseq) if neg else qseq)
+            ws_list.append(window)
+        qcodes = swd.codes_batch(qs_list, DEV_Q)
+        wcodes = swd.codes_batch(ws_list, DEV_S)
+        sc, _, _ = swd.sw_banded_pallas(
+            jnp.asarray(qcodes), jnp.asarray(wcodes), band=DEV_BAND)
+        sc = np.asarray(sc)
+        n_scored = len(items)
+        scores = {key: float(s) for key, s in zip(items, sc)}
+        for qn in cand:
+            if len(cand[qn]) <= 1:
+                continue
+            ss = [scores.get((qn, ci), 0.0)
+                  for ci in range(len(cand[qn]))]
+            best = max(ss) if ss else 0.0
+            survivors[qn] = [ci for ci, s in enumerate(ss)
+                             if s >= 0.8 * best]
 
     # 3. host traceback of the surviving candidates only
     out: dict = {}
