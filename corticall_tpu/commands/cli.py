@@ -8,6 +8,7 @@ jar for this module.  Flag names match the Java fullName/shortName pairs.
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 from .. import graph as gr
@@ -266,6 +267,51 @@ def cmd_compile_feature_table(args):
             f.write("\t".join(cols) + "\n")
             for row in rows:
                 f.write("\t".join(row.get(c, "") for c in cols) + "\n")
+
+
+def cmd_visual_cortex(args):
+    """Start the graph visualizer server against a joined graph (+optional
+    ROIs) and block — commands/visualizer/VisualCortex equivalent.  The
+    page offers kmer-neighborhood search; /stats and /search serve JSON."""
+    import sys as _sys
+    import time as _time
+    from ..visualizer import GraphVisualizer
+    g = gr.CortexGraph.load(args.graph)
+    rois = gr.CortexGraph.load(args.rois) if args.rois else None
+    v = GraphVisualizer(port=args.port, graph=g, rois=rois)
+    print(f"visualizer listening on http://127.0.0.1:{v.port}/",
+          file=_sys.stderr)
+    if args.seed:
+        print(json.dumps(v.search(args.seed.upper(), args.radius)))
+        if args.once:
+            v.shutdown()
+            return
+    try:
+        while True:
+            _time.sleep(3600)
+    except KeyboardInterrupt:
+        v.shutdown()
+
+
+def cmd_send_to_visualizer(args):
+    """Walk a subgraph around a seed and POST it to a running visualizer —
+    commands/visualizer/SendToVisualizer equivalent."""
+    import urllib.request
+    from ..traversal import TraversalConfig, TraversalEngine
+    from ..traversal.stopping import ExplorationStopper
+    from ..visualizer import subgraph_to_json
+    g = gr.CortexGraph.load(args.graph)
+    e = TraversalEngine(TraversalConfig(
+        graph=g, traversal_colors=list(range(g.num_colors)),
+        stopping_rule=ExplorationStopper, max_branch_length=args.radius))
+    sub = e.dfs(args.seed.upper())
+    payload = subgraph_to_json(sub, g, None, name=f"seed {args.seed}")
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{args.port}/post",
+        data=json.dumps(payload).encode(), method="POST")
+    urllib.request.urlopen(req)
+    print(json.dumps({"sent_vertices": len(payload["vertices"]),
+                      "sent_edges": len(payload["edges"])}))
 
 
 def cmd_explore(args):
@@ -791,6 +837,24 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--partitions", "-p", required=True)
     sp.add_argument("--rois", "-r", required=True)
     sp.add_argument("--out", "-o", required=True)
+
+    sp = add("VisualCortex", cmd_visual_cortex,
+             help="start the graph visualizer HTTP server")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--rois", "-r", default=None)
+    sp.add_argument("--port", "-p", type=int, default=0)
+    sp.add_argument("--seed", "-s", default=None,
+                    help="print this kmer's neighborhood JSON at startup")
+    sp.add_argument("--radius", type=int, default=25)
+    sp.add_argument("--once", action="store_true",
+                    help="exit after printing the seed neighborhood")
+
+    sp = add("SendToVisualizer", cmd_send_to_visualizer,
+             help="POST a seed neighborhood to a running visualizer")
+    sp.add_argument("--graph", "-g", required=True)
+    sp.add_argument("--seed", "-s", required=True)
+    sp.add_argument("--port", "-p", type=int, required=True)
+    sp.add_argument("--radius", type=int, default=25)
 
     sp = add("Explore", cmd_explore,
              help="DFS walk between two kmers in one sample's color")

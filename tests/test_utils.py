@@ -132,3 +132,33 @@ def test_visualizer_serves_subgraph():
         assert len(payload["vertices"]) == 1
     finally:
         v.shutdown()
+
+
+def test_visualizer_search_and_stats():
+    """Server with a backing graph: /stats summary and /search on-demand
+    neighborhood subgraphs with coverage/novel annotations."""
+    g = fixtures.build_graph({"kid": ["AGTTCTGATCTGGGA"],
+                              "mom": ["AGTTCTGATCTGGGA"]}, 5)
+    from corticall_tpu.commands import core as _core
+    rois = _core.find_rois(g, "kid", ["mom"])
+    v = viz.GraphVisualizer(port=0, graph=g, rois=rois)
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{v.port}/stats") as r:
+            st = json.loads(r.read())
+        assert st["records"] == g.num_records and st["k"] == 5
+        assert st["samples"] == ["kid", "mom"]
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{v.port}/search?kmer=TTCTG&radius=8") as r:
+            payload = json.loads(r.read())
+        assert payload["vertices"], payload
+        assert all("cov" in vv for vv in payload["vertices"])
+        assert payload["samples"] == ["kid", "mom"]
+        # bad kmer -> structured error, not a crash
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{v.port}/search?kmer=NNNNN")
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        v.shutdown()
