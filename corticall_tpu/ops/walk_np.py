@@ -114,6 +114,9 @@ def replay_jump_walk(seed: str, words: np.ndarray, steps: int,
 _BASE_LUT = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 
+_REVISIT_POWERS: dict = {}
+
+
 def _has_revisit(seed: str, codes: np.ndarray, k: int) -> bool:
     """True when the walk-oriented kmer cursor revisits any position along
     seed+ext — the only case where the raw recording differs from the
@@ -123,11 +126,14 @@ def _has_revisit(seed: str, codes: np.ndarray, k: int) -> bool:
     seed_codes = km.string_to_codes_permissive(seed)
     path = np.concatenate([seed_codes, codes.astype(np.uint8)])
     wins = km.kmerize_codes(path, k)
-    mult = np.uint64(0x9E3779B97F4A7C15)
-    p = np.empty(k, np.uint64)
-    p[0] = 1
-    for i in range(1, k):
-        p[i:i + 1] = p[i - 1:i] * mult
+    p = _REVISIT_POWERS.get(k)
+    if p is None:
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        p = np.empty(k, np.uint64)
+        p[0] = 1
+        for i in range(1, k):
+            p[i:i + 1] = p[i - 1:i] * mult
+        _REVISIT_POWERS[k] = p
     h = (wins.astype(np.uint64) * p[None, :]).sum(axis=1, dtype=np.uint64)
     return len(np.unique(h)) != len(h)
 
@@ -181,6 +187,8 @@ def dedup_extension(seed: str, ext: str,
     if not ext:
         return ext
     codes = km.string_to_codes_permissive(ext).astype(np.int8)
+    if not _has_revisit(seed, codes, len(seed)):
+        return ext
     return replay_walk(seed, codes, True, max_branch_length)
 
 
@@ -199,15 +207,20 @@ def replay_walk(seed: str, bases: np.ndarray, cycled: bool,
     k = len(seed)
     arr = np.asarray(bases)
     lut = np.frombuffer(b"ACGT", dtype=np.uint8)
-    ext = lut[arr[arr >= 0]].tobytes().decode()
-    if not cycled and len(ext) < max_branch_length:
-        # cap-saturated recordings fall through to the seen-set path even
-        # with cycled=False: kernel Brent (power-of-two windows) can miss a
-        # cycle of length L until ~2^ceil(log2 L)+L steps, so a walk that
-        # filled the whole cap may hide an undetected revisit — the seen-set
-        # replay returns the host-oracle answer either way and is a no-op on
-        # genuinely linear truncated walks (ADVICE r03 / jump-cycle audit).
-        return ext
+    codes = arr[arr >= 0]
+    ext = lut[codes].tobytes().decode()
+    if not cycled:
+        # cap-saturated recordings may hide an undetected revisit (kernel
+        # Brent's power-of-two windows can miss a cycle of length L until
+        # ~2^ceil(log2 L)+L steps; ADVICE r03 / jump-cycle audit) — but the
+        # expensive per-kmer seen-set replay only matters when a revisit
+        # actually exists, so a vectorized hash-uniqueness check gates it
+        # (every chunk-capped walk paying the dict replay cost the r4
+        # flagship prefilter 9x its r3 wall-clock before this gate).
+        if len(ext) < max_branch_length:
+            return ext
+        if not _has_revisit(seed, codes, k):
+            return ext
 
     # successor map from the recorded path (covers the full cycle: Brent's
     # anchor sits on the cycle for >= one full lap before detection)
