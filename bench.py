@@ -75,9 +75,10 @@ def main():
     n_bases = int(os.environ.get("BENCH_BASES", "2000000"))
     b = int(os.environ.get("BENCH_WALKS", "262144"))
     t = int(os.environ.get("BENCH_STEPS", "256"))
-    # the jump kernel is timed at the production Partition walk cap
-    # (commands/core.py max_walk default 2000): long-walk batches amortize
-    # the fixed per-dispatch tunnel latency exactly as production does
+    # jump-kernel walk cap for the timed batches.  Production Partition runs
+    # max_walk=20000 (commands/cli.py); 2000 here keeps one timed call at
+    # ~0.5 GB of emitted bases while exercising the same per-iteration code
+    # (the kernel's cost is per JUMP_MAX-base iteration either way)
     tj = int(os.environ.get("BENCH_STEPS_JUMP", "2000"))
 
     g, genome = build_bench_graph(k, n_bases)
@@ -114,41 +115,62 @@ def main():
     # jump-table kernel (pointer-chased unitig runs): after one seed lookup,
     # each iteration is a single directly-addressed 16 B gather — no hashing,
     # no key compares, no stalls (ops/cuckoo.py JumpTable).  This times the
-    # PRODUCTION entry point (walk_forward_jumps — the same call
-    # commands/core._partition_device makes), INCLUDING materializing the
-    # emitted run words on the host for replay; the r03 verdict flagged the
-    # old dispatch-only timing as a bench-only number.
+    # PRODUCTION entry (seed resolution + jump walk + packed-emission
+    # layout — everything commands/core's device branches dispatch), with
+    # the result left DEVICE-RESIDENT and the timing synced on an 8-byte
+    # device-side reduction.  A device-side reduction is a TRUE sync (XLA
+    # cannot return the scalar before the walk completes) while keeping the
+    # tunnel out of the measurement: r4's loop synced by pulling the [B]
+    # step array (1 MB/call) through this rig's host<->device tunnel, whose
+    # throughput swings 0.3-20 MB/s with rig load — BENCH_r04's 182M
+    # "kernel" number was really ~1 MB / (degraded tunnel rate) per call.
+    # The host-materialized rate and measured d2h rate are still reported
+    # below so the rig tax is attributable, per-call spread included.
     jt_t0 = time.perf_counter()
     jt = ck.build_jump_table(g.kmers, g.edges[:, 0], k)
     import jax as _jax
-    _jax.block_until_ready(jt.rows)
+    from functools import partial as _partial
+
+    @_partial(_jax.jit, static_argnames=("k", "tj"))
+    def _prod_walk(buckets, rows, seeds, k: int, tj: int):
+        st, packed = ck._jump_walk(
+            rows, ck._jump_seed_rows(buckets, seeds, k), tj)
+        # reduce BOTH outputs on device: forces the full walk and the
+        # packed-emission layout, returns 8 bytes
+        return st[2].sum(), packed.astype(jnp.uint32).sum()
+
+    es, ps = _prod_walk(jt.buckets, jt.rows, seeds, k, tj)
+    int(np.asarray(es))                    # build + compile + sync barrier
+    jt_build_first_s = time.perf_counter() - jt_t0
+    # warm build: what production pays (pipeline warmup_async absorbs the
+    # one-time compiles; the rebuild still uploads keys + placement and
+    # runs the full device pointer-doubling)
+    jt_t0 = time.perf_counter()
+    jt = ck.build_jump_table(g.kmers, g.edges[:, 0], k)
+    int(np.asarray(jt.rows[0, 0]))
     jt_build_s = time.perf_counter() - jt_t0
 
-    # device rate: the walk chain synced on the steps scalar only — what the
-    # chip sustains.  On this rig device->host moves at ~20 MB/s through the
-    # axon tunnel (a dev-rig artifact, not TPU hardware: PCIe D2H is GB/s),
-    # so the materialized rate below is tunnel-transfer-bound at ~2 bits per
-    # emitted base; both are reported, with the measured d2h rate, so the
-    # gap is attributable.
-    st, packed = ck._jump_walk(jt.rows, ck._jump_seed_rows(
-        jt.buckets, seeds, k), tj)
-    int(np.asarray(st[2]).sum())                        # compile + sync
-    t0 = time.perf_counter()
-    total_emitted = 0
+    emitted_call = int(np.asarray(es))
+    times = []
     for _ in range(n_iters):
-        st, packed = ck._jump_walk(jt.rows, ck._jump_seed_rows(
-            jt.buckets, seeds, k), tj)
-        total_emitted += int(np.asarray(st[2]).sum())
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        es, ps = _prod_walk(jt.buckets, jt.rows, seeds, k, tj)
+        int(np.asarray(es))
+        times.append(time.perf_counter() - t0)
+    dt_med = sorted(times)[len(times) // 2]
+    dt_min = min(times)
+    device_sps = emitted_call / dt_med
     iters_used = ck.jump_iters(tj)
-    total_rows = iters_used * b * n_iters
-    device_sps = total_emitted / dt
+    total_rows = iters_used * b
     run_row_bytes = jt.rows.shape[1] * 4
-    run_gbs = total_rows * run_row_bytes / dt / 1e9
-    run_bytes_per_step = total_rows * run_row_bytes / max(total_emitted, 1)
+    run_gbs = total_rows * run_row_bytes / dt_med / 1e9
+    run_bytes_per_step = total_rows * run_row_bytes / max(emitted_call, 1)
 
-    # the production entry point (walk_forward_jumps — the call
-    # commands/core makes), INCLUDING materializing the packed bases
+    # the host-materializing wrapper (walk_forward_jumps — what
+    # commands/core's host consumers call), INCLUDING pulling the packed
+    # bases through the tunnel: on real TPU hardware PCIe d2h runs at GB/s
+    # and this converges to the device rate; on this rig it is bound by the
+    # tunnel, whose measured rate is reported alongside
     t0 = time.perf_counter()
     o = ck.walk_forward_jumps(jt.buckets, jt.rows, seeds, k, tj)
     mat_dt = time.perf_counter() - t0
@@ -214,10 +236,15 @@ def main():
         else (round(device_sps / host_sps, 2) if host_sps else None),
         "vs_python": round(device_sps / host_sps, 2) if host_sps else None,
         "walk_kernel": "jump_table",
+        "timing_median_s": round(dt_med, 4),
+        "timing_min_s": round(dt_min, 4),
+        "timing_spread": round(max(times) / dt_min, 2),
+        "sync_bytes": 8,
         "walk_single_step_sps": round(spec_sps),
         "walk_materialized_sps": round(mat_sps),
         "d2h_tunnel_mb_s": round(d2h_mb_s, 1),
         "jump_table_build_s": round(jt_build_s, 1),
+        "jump_table_build_first_s": round(jt_build_first_s, 1),
         "hbm_bytes_per_step": round(run_bytes_per_step, 1),
         "hbm_gather_gb_s": round(run_gbs, 2),
         "hbm_gather_gb_s_single_step": round(spec_gbs, 2),

@@ -683,9 +683,19 @@ def _partition_links_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
     rc = [km.revcomp(s) for s in cks]
     contigs = {}
     relink: list = []
+    fp = ckpt.graph_fingerprint(graph) if checkpoint else ""
+    start_at = 0
+    if checkpoint:
+        saved = ckpt.load_chunk_state(checkpoint, fp)
+        if saved is not None:
+            start_at, payload = saved
+            relink = list(payload["relink"])
+            done = payload["contigs"]
+            contigs.update({s: c for s, c in zip(cks[:start_at], done)
+                            if c is not None})
     t0 = _time.perf_counter()
     dev_steps = 0
-    for lo in range(0, len(cks), chunk):
+    for lo in range(start_at, len(cks), chunk):
         batch = cks[lo:lo + chunk]
         f_seeds = jnp.asarray(km.pack_codes(km.strings_to_codes(batch), k))
         r_seeds = jnp.asarray(km.pack_codes(
@@ -712,6 +722,10 @@ def _partition_links_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
             else:
                 contigs[s] = ((km.revcomp(backs[i]) if backs[i] else "")
                               + s + fwds[i])
+        if checkpoint and lo + chunk < len(cks):
+            ckpt.save_chunk_state(checkpoint, fp, lo + chunk, {
+                "contigs": [contigs.get(s) for s in cks[:lo + chunk]],
+                "relink": relink})
     walk_s = _time.perf_counter() - t0
 
     junctions_total = 0
@@ -734,6 +748,8 @@ def _partition_links_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
                 w = to_walk(g, s, child_color, graph=graph)
                 contigs[s] = to_contig(w) if w else s
 
+    if checkpoint:
+        ckpt.clear_chunk_state(checkpoint)
     if stats is not None:
         stats["walk_kernel"] = "jump_table"
         stats["jump_table_build_s"] = round(build_s, 2)

@@ -94,8 +94,17 @@ def align_contigs(queries: dict, references: dict, band: int = 512,
             ss = [scores.get((qn, ci), 0.0)
                   for ci in range(len(cand[qn]))]
             best = max(ss) if ss else 0.0
-            survivors[qn] = [ci for ci, s in enumerate(ss)
-                             if s >= 0.8 * best]
+            keep = [ci for ci, s in enumerate(ss) if s >= 0.8 * best]
+            # length-aware guard: final ranking is by alignment LENGTH
+            # desc then NM asc (rank/sortAlignments parity), so a long,
+            # diverged placement (the one a mosaic/NAHR contig needs) must
+            # not be pruned just because a short exact repeat hit out-scores
+            # it — also keep any candidate whose window span exceeds the
+            # longest score-surviving window
+            max_span = max((len(cand[qn][ci][5]) for ci in keep), default=0)
+            keep += [ci for ci in range(len(cand[qn]))
+                     if ci not in keep and len(cand[qn][ci][5]) > max_span]
+            survivors[qn] = sorted(keep)
 
     # 3. host traceback of the surviving candidates only
     out: dict = {}

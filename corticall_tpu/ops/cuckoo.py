@@ -649,8 +649,8 @@ def walk_forward_runs_chunked(buckets, runs, seeds, k: int, num_steps: int,
 _JUMP_END = np.uint32(0xFFFFFFFF)   # run ends the walk (branch/dead-end)
 
 # bases per jump row.  A power of two (doubling exactness, see above); the
-# packed layout (12 in w0 + 16 in w1 + 16 in w3) holds up to 44, so 32 uses
-# w0 fully and w1/w3 partially.
+# (hi, lo) 64-bit linear packing holds exactly 32 two-bit bases, so 32
+# uses the pair fully.
 JUMP_MAX = 32
 
 
@@ -675,8 +675,9 @@ class JumpTable:
     kmers at k=47); those need uint32 row arithmetic plus a separate active
     mask, or graph sharding (parallel/mesh.py).
 
-    Cycle caveat: Brent detection here compares row ids at jump (44-base)
-    stride, so a cycle of length L is detected after L/gcd(L,44) jumps —
+    Cycle caveat: Brent detection here compares row ids at jump
+    (JUMP_MAX-base) stride, so a cycle of length L is detected after
+    L/gcd(L,JUMP_MAX) jumps —
     within the step cap for short cycles, but a long cycle whose period
     exceeds cap/JUMP_MAX jumps saturates `steps` at the cap with
     cycled=False.  walk_forward_jumps therefore reports
@@ -814,6 +815,35 @@ def _pow2_pad(n: int, lo: int = 4096) -> int:
     return b
 
 
+@partial(jax.jit, static_argnames=("nb",))
+def _scatter_buckets(kd, entry_idx, nb: int):
+    """Build the bs=2 cuckoo bucket array ON DEVICE from the uploaded keys
+    and the host-computed placement (entry_idx = bucket*2 + pos): one
+    unique-index scatter.  Uploading (bucket, pos) as one int32[N] costs
+    ~4 B/key over the tunnel vs ~24 B/key for the materialized bucket
+    array — the build was h2d-transfer-bound, not compute-bound."""
+    n, w = kd.shape
+    tag = jnp.uint32(0x80000000) | jnp.arange(n, dtype=jnp.uint32)
+    vals = jnp.concatenate([kd, tag[:, None]], axis=1)
+    entries = jnp.zeros((nb * 2, w + 1), jnp.uint32)
+    entries = entries.at[entry_idx].set(vals, unique_indices=True)
+    return entries.reshape(nb, 2 * (w + 1))
+
+
+@partial(jax.jit, static_argnames=("npad",))
+def _pad_build_inputs(kd, ed, fd, npad: int):
+    """Pad build inputs to the power-of-two row count on DEVICE (pad rows
+    duplicate row 0; unreachable — see build_jump_table)."""
+    n = kd.shape[0]
+    if npad == n:
+        return kd, ed, fd
+    pk = jnp.concatenate(
+        [kd, jnp.broadcast_to(kd[:1], (npad - n, kd.shape[1]))])
+    pe = jnp.concatenate([ed, jnp.zeros(npad - n, ed.dtype)])
+    pf = jnp.concatenate([fd, jnp.zeros(npad - n, jnp.bool_)])
+    return pk, pe, pf
+
+
 def build_jump_table(kmers: np.ndarray, edges: np.ndarray, k: int,
                      load_factor: float = 0.5,
                      chunk: int = 262144,
@@ -827,28 +857,30 @@ def build_jump_table(kmers: np.ndarray, edges: np.ndarray, k: int,
     real ids from the hash table).  `chunk` is accepted for backward
     compatibility and unused.
 
+    Transfer-minimized: only the raw keys/edges/flags and a 4 B/key
+    placement vector cross the host->device link (the bucket array and all
+    padding are constructed on device), and the uploads are issued BEFORE
+    the host cuckoo placement runs so the transfer overlaps it — on rigs
+    where h2d moves at MB/s (the axon tunnel) the old materialized-bucket
+    upload dominated the build several-fold.
+
     flags: optional bool[N] per-kmer attribute (e.g. "carries link
     records"); the build ORs it along runs and the walker ORs it along
     walks, so walk_forward_jumps' `touched` output reports, per lane,
     whether any kmer on its path carried the attribute — with no host
     hashing (the linked-Partition filter)."""
     n, w = kmers.shape
-    ids = np.arange(n, dtype=np.uint32)
-    ct = build_cuckoo(kmers, ids, load_factor=load_factor,
-                      bucket_size=2, primary_bias=True)
-    ct_buckets = jnp.asarray(ct.buckets)
     if flags is None:
         flags = np.zeros(n, dtype=bool)
+    # async uploads first; the host placement below overlaps the transfer
+    kd = jnp.asarray(np.ascontiguousarray(kmers))
+    ed = jnp.asarray(np.ascontiguousarray(edges.astype(np.uint8)))
+    fd = jnp.asarray(np.ascontiguousarray(flags.astype(bool)))
+    nb, bucket_of, pos_of, _h1 = _place(kmers, load_factor, None, 2, True)
+    entry_idx = jnp.asarray((bucket_of * 2 + pos_of).astype(np.int32))
+    ct_buckets = _scatter_buckets(kd, entry_idx, nb)
     npad = _pow2_pad(n)
-    if npad != n:
-        kmers = np.concatenate(
-            [kmers, np.repeat(kmers[:1], npad - n, axis=0)])
-        edges = np.concatenate(
-            [edges, np.zeros(npad - n, dtype=edges.dtype)])
-        flags = np.concatenate([flags, np.zeros(npad - n, dtype=bool)])
-    rows = _jump_rows_device(jnp.asarray(kmers),
-                             jnp.asarray(edges.astype(np.uint8)),
-                             jnp.asarray(flags.astype(bool)),
+    rows = _jump_rows_device(*_pad_build_inputs(kd, ed, fd, npad),
                              ct_buckets, k)
     return JumpTable(buckets=ct_buckets, rows=rows, words=w)
 
@@ -889,9 +921,10 @@ def lookup_tag(buckets: jnp.ndarray, canon: jnp.ndarray, w: int) -> jnp.ndarray:
 
 def _jump_step_fn(rows, num_steps: int):
     """One pointer jump.  State: (row, active, emitcnt, cycled, saved,
-    power, lam) — row/saved are int32 row ids.  Emits the jump's (hi, lo)
-    linear-packed bases, masked to the emitted count when the step cap
-    clamps a run mid-jump."""
+    power, lam, touched, endj) — row/saved are int32 row ids; touched ORs
+    the build-time flag bit along the walk, endj records whether the lane
+    stopped at a junction.  Emits the jump's (hi, lo) linear-packed bases,
+    masked to the emitted count when the step cap clamps a run mid-jump."""
 
     def step(state, _):
         (row, active, emitcnt, cycled, saved, power, lam, touched,

@@ -147,19 +147,27 @@ def jump_extensions_batch(seeds: list, packed: np.ndarray, steps: np.ndarray,
     vectorized revisit check proves it; only lanes with an actual cursor
     revisit (true cycles) pay the per-kmer seen-set replay."""
     w = np.asarray(packed, dtype=np.uint32)
-    fields = ((w[:, :, None] >> _JUMP_FIELD_SHIFTS[None, None, :]) & 3
-              ).astype(np.uint8)
-    flat = fields.reshape(w.shape[0], -1)
     out = []
-    for i, seed in enumerate(seeds):
-        n = int(steps[i])
-        codes = flat[i, :n]
-        if cycled[i] or (saturated[i]
-                         and _has_revisit(seed, codes, len(seed))):
-            out.append(replay_walk(seed, codes.astype(np.int8), True,
-                                   max_branch_length))
-        else:
-            out.append(_BASE_LUT[codes].tobytes().decode())
+    # decode in bounded lane blocks: the [B, 2T, 16] expansion at the
+    # production chunk (65536 lanes x max_walk 20000) would be a ~1.3 GB
+    # uint8 transient (with a >5 GB uint32 intermediate) — blocks keep the
+    # peak under ~100 MB with identical output (ADVICE r04)
+    block = max(1, (16 << 20) // max(w.shape[1] * 16, 1))
+    for lo in range(0, len(seeds), block):
+        wb = w[lo:lo + block]
+        fields = ((wb[:, :, None] >> _JUMP_FIELD_SHIFTS[None, None, :]) & 3
+                  ).astype(np.uint8)
+        flat = fields.reshape(wb.shape[0], -1)
+        for j, seed in enumerate(seeds[lo:lo + block]):
+            i = lo + j
+            n = int(steps[i])
+            codes = flat[j, :n]
+            if cycled[i] or (saturated[i]
+                             and _has_revisit(seed, codes, len(seed))):
+                out.append(replay_walk(seed, codes.astype(np.int8), True,
+                                       max_branch_length))
+            else:
+                out.append(_BASE_LUT[codes].tobytes().decode())
     return out
 
 
