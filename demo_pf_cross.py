@@ -93,10 +93,8 @@ def evaluate(variants, truth, mom, dad, k, recombs=None):
         return pos, ref, alt
 
     def matches(tv, cv):
-        if cv.chrom != tv.chrom:
+        if cv.chrom != tv.chrom or cv.is_symbolic():
             return False
-        if cv.is_symbolic():
-            return abs(cv.start - tv.start) <= 25
         tp_, tr, ta = _norm(tv.start, tv.alleles[0].upper(),
                             tv.alleles[1].upper())
         cp_, cr, ca = _norm(cv.start, cv.alleles[0].upper(),
@@ -141,13 +139,29 @@ def evaluate(variants, truth, mom, dad, k, recombs=None):
                     hit.add(j)
         return len(hit) >= min(2, len(juncs))
 
+    def sym_strict(tv):
+        """Breakend support for a span variant (INV and friends): requires
+        breakends within 25 bp of BOTH true boundaries (START and END) —
+        the same rigor as the NAHR multi-junction rule, so a caller that
+        emitted every inversion with the wrong span would gain nothing
+        (r4 verdict weak item 4).  Spans shorter than the tolerance
+        degenerate to the single-boundary check."""
+        end = tv.start + max(len(tv.alleles[0]) - 1, 0)
+        bnds = [cv.start for cv in variants
+                if cv.is_symbolic() and cv.chrom == tv.chrom]
+        if end - tv.start <= 25:
+            return any(abs(p - tv.start) <= 25 for p in bnds)
+        return (any(abs(p - tv.start) <= 25 for p in bnds)
+                and any(abs(p - end) <= 25 for p in bnds))
+
     strict_by_type: dict = {}
     strict_recovered = 0
     for tv in truth:
         ty = tv.get_attr("TYPE", "UNK")
         t = strict_by_type.setdefault(ty, {"tp": 0, "fn": 0})
         ok = (nahr_strict(tv) if ty == "NAHR-INS"
-              else any(matches(tv, cv) for cv in variants))
+              else any(matches(tv, cv) for cv in variants)
+              or sym_strict(tv))
         if ok:
             t["tp"] += 1
             strict_recovered += 1
@@ -471,7 +485,15 @@ def _maybe_dump(ev, variants):
                    "alleles": list(cv.alleles),
                    "background": cv.get_attr("BACKGROUND"),
                    "mapq": cv.get_attr("flankMappingQuality"),
-                   "symbolic": cv.is_symbolic()}
+                   "symbolic": cv.is_symbolic(),
+                   # breakend provenance, for root-causing unmatched BNDs
+                   # (r4 verdict weak item 5) without re-running Call
+                   **({"partition": cv.get_attr("PARTITION_NAME"),
+                       "mateid": cv.get_attr("MATEID"),
+                       "target": cv.get_attr("targetName"),
+                       "novel_kmers": cv.get_attr("NOVEL_KMERS"),
+                       "child_hap_len": len(cv.get_attr("CHILD_HAP") or "")}
+                      if cv.is_symbolic() else {})}
                   for cv in variants],
     }
     with open(dump, "w") as f:
