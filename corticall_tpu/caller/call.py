@@ -1357,6 +1357,28 @@ class Caller:
             vcbn.attr("flipped", flip)
             alt_loci = [f"{sra.contig}:{sra.start}" for sra in srs]
             vcbn.attr("alt_loci", ",".join(alt_loci))
+
+            # VCF spec: REF must match the reference at the assigned
+            # position.  A flank alignment ending inside a tandem repeat
+            # can land the lift one repeat-rotation away from the
+            # contig-space anchor base, leaving indel alleles whose shared
+            # anchor disagrees with the reference (and an unapplyable
+            # haplotype); re-anchoring the shared first base from the
+            # actual reference restores spec-consistency — and, when the
+            # inserted/deleted string itself is right, the exact
+            # haplotype.  SNVs and symbolic alleles are untouched
+            # (Call.java:314-613 lift parity otherwise).
+            back = vcbn.get_attr("BACKGROUND")
+            ref_ir = self.references.get(back) if back else None
+            if (ref_ir is not None and not vcbn.is_symbolic()
+                    and not vcbn.is_snp() and len(vcbn.alleles) >= 2):
+                a0, a1 = vcbn.alleles[0], vcbn.alleles[1]
+                seq = getattr(ref_ir, "seqs", {}).get(vcbn.chrom)
+                if (seq and a0 and a1 and a0[0] == a1[0]
+                        and 1 <= vcbn.start <= len(seq)):
+                    rb = seq[vcbn.start - 1].upper()
+                    if rb != a0[0].upper() and rb in "ACGT":
+                        vcbn.alleles = [rb + a0[1:], rb + a1[1:]]
         return vcbn
 
     # ------------------------------------------------------------------

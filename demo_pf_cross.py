@@ -80,25 +80,39 @@ def evaluate(variants, truth, mom, dad, k, recombs=None):
     (the manuscript requires multi-breakend/long-read support for NAHR)."""
     from corticall_tpu import evaluation as ev
 
-    # strict: matching alleles within 25 bp on the same chromosome, after
-    # standard VCF normalization (strip shared suffix then prefix, advancing
-    # the position — the caller pads alleles with prev/next anchor bases per
-    # the reference's emission convention, the truth rows are bare)
-    def _norm(pos, ref, alt):
+    # strict: standard VCF left-alignment in each variant's own background
+    # frame (indels in tandem repeats are ambiguous under rotation; the
+    # left-aligned representative is canonical), then — same background —
+    # EXACT (pos, ref, alt) equality; across backgrounds (the parents are
+    # colinear but divergence shifts local context) a 25 bp window with
+    # matching length-delta and, for substitutions, matching alleles.
+    parent_seqs = {"mom": mom, "dad": dad}
+
+    def _leftal(v):
+        pos, ref, alt = v.start, v.alleles[0].upper(), v.alleles[1].upper()
+        seq = parent_seqs.get(v.get_attr("BACKGROUND") or "mom",
+                              mom).get(v.chrom)
         while len(ref) > 1 and len(alt) > 1 and ref[-1] == alt[-1]:
             ref, alt = ref[:-1], alt[:-1]
         while len(ref) > 1 and len(alt) > 1 and ref[0] == alt[0]:
             ref, alt = ref[1:], alt[1:]
             pos += 1
+        while (seq and pos > 1 and ref[-1] == alt[-1]
+               and (len(ref) == 1 or len(alt) == 1)):
+            prev = seq[pos - 2].upper()
+            ref, alt = prev + ref[:-1], prev + alt[:-1]
+            pos -= 1
         return pos, ref, alt
 
     def matches(tv, cv):
         if cv.chrom != tv.chrom or cv.is_symbolic():
             return False
-        tp_, tr, ta = _norm(tv.start, tv.alleles[0].upper(),
-                            tv.alleles[1].upper())
-        cp_, cr, ca = _norm(cv.start, cv.alleles[0].upper(),
-                            cv.alleles[1].upper())
+        tp_, tr, ta = _leftal(tv)
+        cp_, cr, ca = _leftal(cv)
+        same_bg = ((tv.get_attr("BACKGROUND") or "mom")
+                   == (cv.get_attr("BACKGROUND") or "mom"))
+        if same_bg:
+            return (cp_, cr, ca) == (tp_, tr, ta)
         if abs(cp_ - tp_) > 25:
             return False
         dt = len(ta) - len(tr)
