@@ -328,6 +328,10 @@ class Caller:
         return g
 
     def assemble_candidate_haplotypes(self, ws: list, parent_name: str) -> dict:
+        # sub-phase timers (asm/ prefix): nested inside the call loop's
+        # mixed:assemble_haplotypes section, so their sum ~= that phase —
+        # the attribution CALL_PHASES needs to steer optimization
+        tmr = self.timer
         colors = self.graph.colors_for_samples([parent_name])
         g = Subgraph()
         g_kmers: set = set()
@@ -340,7 +344,9 @@ class Caller:
             if has_cov and v.kmer not in seen_seeds:
                 seen_seeds.add(v.kmer)
                 seeds.append(v.kmer)
-        exts = self._batched_chain_exts(colors, seeds, max_branch=len(ws))
+        with tmr.section("asm/chain_walks"):
+            exts = self._batched_chain_exts(colors, seeds,
+                                            max_branch=len(ws))
 
         if exts is None:
             e = self._engine(colors, BOTH, ContigStopper, max_branch=len(ws))
@@ -354,48 +360,54 @@ class Caller:
                     g_kmers.update(x.kmer for x in gs.vertices())
         else:
             replay_engine = None
-            for s, ext in zip(seeds, exts):
-                if s in g_kmers:
-                    continue
-                if ext is None:           # device link-cap overflow lane
-                    if replay_engine is None:
-                        replay_engine = self._engine(colors, BOTH,
-                                                     ContigStopper,
-                                                     max_branch=len(ws))
-                    gs = replay_engine.dfs(s)
-                    if gs is not None and gs.num_vertices() > 0:
-                        contigs.add(to_contig(to_walk(gs, s, colors[0])))
+            with tmr.section("asm/path_graphs"):
+                for s, ext in zip(seeds, exts):
+                    if s in g_kmers:
+                        continue
+                    if ext is None:       # device link-cap overflow lane
+                        if replay_engine is None:
+                            replay_engine = self._engine(colors, BOTH,
+                                                         ContigStopper,
+                                                         max_branch=len(ws))
+                        gs = replay_engine.dfs(s)
+                        if gs is not None and gs.num_vertices() > 0:
+                            contigs.add(to_contig(to_walk(gs, s, colors[0])))
+                            g.add_graph(gs)
+                            g_kmers.update(x.kmer for x in gs.vertices())
+                        continue
+                    fwd_ext, back_ext = ext
+                    gs = self._path_graph_from_exts(s, fwd_ext, back_ext,
+                                                    colors[0])
+                    if gs.num_vertices() > 0:
+                        contigs.add((km.revcomp(back_ext) if back_ext
+                                     else "") + s + fwd_ext)
                         g.add_graph(gs)
                         g_kmers.update(x.kmer for x in gs.vertices())
-                    continue
-                fwd_ext, back_ext = ext
-                gs = self._path_graph_from_exts(s, fwd_ext, back_ext,
-                                                colors[0])
-                if gs.num_vertices() > 0:
-                    contigs.add((km.revcomp(back_ext) if back_ext else "")
-                                + s + fwd_ext)
-                    g.add_graph(gs)
-                    g_kmers.update(x.kmer for x in gs.vertices())
 
-        in_ends = self.get_closeable_graph_ends(colors, g, outgoing=False)
-        out_ends = self.get_closeable_graph_ends(colors, g, outgoing=True)
-        self.close_gaps(colors, g, in_ends, out_ends)
-        self.extend_flanks(colors, g, in_ends, out_ends)
+        with tmr.section("asm/graph_ends"):
+            in_ends = self.get_closeable_graph_ends(colors, g, outgoing=False)
+            out_ends = self.get_closeable_graph_ends(colors, g, outgoing=True)
+        with tmr.section("asm/close_gaps"):
+            self.close_gaps(colors, g, in_ends, out_ends)
+        with tmr.section("asm/extend_flanks"):
+            self.extend_flanks(colors, g, in_ends, out_ends)
 
         targets: dict = {}
         if g.num_edges() > 0:
             rep_color = colors[0]
             walks = []
-            for cs in tu.connected_components(g):
-                w = []
-                for cv in sorted(cs, key=lambda v: (v.kmer, v.copy, v.index)):
-                    wa = to_walk(g, cv.kmer, rep_color)
-                    if len(wa) == len(w):
-                        break
-                    elif len(wa) > len(w):
-                        w = wa
-                if w:
-                    walks.append(w)
+            with tmr.section("asm/components_walks"):
+                for cs in tu.connected_components(g):
+                    w = []
+                    for cv in sorted(cs,
+                                     key=lambda v: (v.kmer, v.copy, v.index)):
+                        wa = to_walk(g, cv.kmer, rep_color)
+                        if len(wa) == len(w):
+                            break
+                        elif len(wa) > len(w):
+                            w = wa
+                    if w:
+                        walks.append(w)
 
             indices = {cv.canonical for cv in ws}
             for w in walks:

@@ -110,12 +110,16 @@ def run_pipeline(workdir: str, reads_by_sample: dict, child: str,
                  trim_margin: int = 500, resume: bool = True,
                  caller_opts: dict | None = None, log=None,
                  clean: bool = True, prefilters=None,
-                 thread_refs: bool = True) -> dict:
+                 thread_refs: bool = True,
+                 shared_graphs: dict | None = None) -> dict:
     """Execute the full production pipeline from reads to VCF.
 
     reads_by_sample: {sample: list_of_read_strings} (child first or any
     order; `child`/`parents` name the colors).  references:
     {parent: IndexedReference} for target labelling + coordinate liftover.
+    shared_graphs: {sample: CortexGraph} of pre-built cleaned graphs (the
+    cross-scatter's shared parents — run_cross_pipeline builds each parent
+    once and fans progeny out over it, ProcessPfCross.wdl:41-209's role).
     Returns a dict with the graph, rois, partitions, variants, per-stage
     timings and stats (see keys below).
     """
@@ -134,6 +138,9 @@ def run_pipeline(workdir: str, reads_by_sample: dict, child: str,
     # ---- per-sample build + clean (mccortex build/clean/inferedges) -------
     cleaned: dict = {}
     for s in samples:
+        if shared_graphs and s in shared_graphs:
+            cleaned[s] = shared_graphs[s]     # built once by the scatter
+            continue
         def compute(path, s=s):
             g = bd.build_graph_from_reads(reads_by_sample[s], k, s)
             raw_records = g.num_records
@@ -306,6 +313,62 @@ def run_pipeline(workdir: str, reads_by_sample: dict, child: str,
         "stages": {n: pl.state.seconds(n) for n in pl.state.data["stages"]},
         "stats": {n: pl.state.stats(n) for n in pl.state.data["stages"]},
         "workdir": workdir,
+    }
+
+
+def run_cross_pipeline(workdir: str, parent_reads: dict, progeny_reads: dict,
+                       parents: list, references=None, log=None,
+                       **opts) -> dict:
+    """Multi-sample scatter over a cross: the reference's production unit
+    (ProcessPfCross.wdl:41-209, Simulate.wdl:27-120 — N progeny scattered
+    over shared parents, one Cromwell task per sample).
+
+    Each parent graph is built+cleaned ONCE in the shared workdir, then
+    every progeny sample runs the full per-child pipeline (join, link
+    threading, FindROIs, prefilters, Partition, Call, FilterCalls) in its
+    own subdirectory against the shared parent graphs.  Returns per-sample
+    results plus the shared/per-child timing split so the reuse is a
+    measured number, not a claim.
+    """
+    t_all = time.perf_counter()
+    pl = Pipeline(workdir, resume=opts.get("resume", True), log=log)
+    k = opts.get("k", 47)
+    min_coverage = opts.get("min_coverage", 2)
+    tip_length = opts.get("tip_length")
+    clean = opts.get("clean", True)
+
+    shared: dict = {}
+    for s in parents:
+        def compute(path, s=s):
+            g = bd.build_graph_from_reads(parent_reads[s], k, s)
+            raw = g.num_records
+            if clean:
+                g = bd.clean_graph(g, min_coverage=min_coverage,
+                                   tip_length=tip_length)
+            ctxio.write_ctx(path, g.data)
+            return g, {"raw_records": raw, "clean_records": g.num_records}
+        shared[s] = pl.stage(f"build_clean_{s}", [f"{s}.clean.ctx"],
+                             compute, _read_graph)
+    shared_s = round(time.perf_counter() - t_all, 2)
+
+    per_sample: dict = {}
+    child_opts = {kk: vv for kk, vv in opts.items()}
+    for child in progeny_reads:
+        t0 = time.perf_counter()
+        res = run_pipeline(
+            os.path.join(workdir, child),
+            {child: progeny_reads[child], **parent_reads},
+            child, list(parents), references=references, log=log,
+            shared_graphs=shared, **child_opts)
+        res["wallclock_s"] = round(time.perf_counter() - t0, 2)
+        per_sample[child] = res
+
+    return {
+        "parents": {s: {"records": shared[s].num_records} for s in parents},
+        "shared_parent_build_s": shared_s,
+        "per_sample": per_sample,
+        "progeny": list(progeny_reads),
+        "total_s": round(time.perf_counter() - t_all, 2),
     }
 
 
