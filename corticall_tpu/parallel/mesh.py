@@ -593,3 +593,57 @@ def make_sharded_walk_step(mesh: Mesh, sg: ShardedGraph, colors, k: int):
         return sharded(cur, active, sg.kmers, sg.edges, sg.coverages, sg.buckets)
 
     return run
+
+
+def sharded_call(mesh: Mesh, graph, rois, partitions: list, backgrounds,
+                 references, caller_opts: dict | None = None):
+    """Partition-level data-parallel Call over the mesh (r4 verdict item 6;
+    SURVEY §2.4 pipeline analog).
+
+    Partitions are round-robined across the mesh's devices; each shard runs
+    the full caller on its subset with that device as the JAX default (its
+    Tesserae batches, contig-aligner scoring, and chain-walk device work
+    dispatch there), and the shard call sets merge into one deterministic
+    list that is IDENTICAL to a single-device `Caller.call()`:
+
+    - every cross-call step (merge_double_breakpoints,
+      assign_coordinates_all) is partition-local in the caller (Call.java
+      runs them per partition too), so sharding by partition is exact;
+    - the final TreeSet order/dedup (VariantSorterSet: first insert wins on
+      comparator ties, Call.java:1845-1887) is reproduced by re-inserting
+      shard results in original-partition order — within a shard the list
+      is key-sorted, so its restriction to one partition equals that
+      partition's own sorted iteration, and ties dedup to the earliest
+      partition exactly as the sequential loop does.
+    """
+    import jax as _jax
+    from ..caller.call import Caller
+    from ..caller.variants import VariantSorterSet
+
+    devices = list(mesh.devices.flat)
+    n = max(1, len(devices))
+    shards = [[(gi, partitions[gi]) for gi in range(i, len(partitions), n)]
+              for i in range(n)]
+    tagged: list = []
+    for dev, sub in zip(devices, shards):
+        if not sub:
+            continue
+        with _jax.default_device(dev):
+            c = Caller(graph, rois, [p for _, p in sub],
+                       backgrounds=list(backgrounds), references=references,
+                       **(caller_opts or {}))
+            vs, _ = c.call()
+        order = {p[0].split(" ")[0]: gi for gi, p in sub}
+        for j, v in enumerate(vs):
+            pname = v.get_attr("PARTITION_NAME", "")
+            tagged.append((order.get(pname, 1 << 30), j, v))
+    tagged.sort(key=lambda t: (t[0], t[1]))
+
+    mc = Caller(graph, rois, partitions, backgrounds=list(backgrounds),
+                references=references, **(caller_opts or {}))
+    sd = mc.sequence_dictionary()
+    seq_index = {name: i for i, (name, _) in enumerate(sd)}
+    svcs = VariantSorterSet(seq_index)
+    for _, _, v in tagged:
+        svcs.add(v)
+    return svcs.to_list(), mc.load_rois()

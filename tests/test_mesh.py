@@ -175,3 +175,34 @@ def test_routed_exchange_skewed_queries_need_multiple_rounds():
     cur_1 = jnp.where(advance[:, None], nxt, seeds)
     np.testing.assert_array_equal(np.asarray(act_s), np.asarray(advance))
     np.testing.assert_array_equal(np.asarray(cur_s), np.asarray(cur_1))
+
+
+def test_sharded_call_vcf_bit_identical():
+    """Partition-sharded Call over the 8-device mesh produces a VCF
+    byte-identical to the single-device caller (r4 verdict item 6)."""
+    import tempfile, os
+    from corticall_tpu.commands import core
+    from corticall_tpu.caller.call import Caller
+    from corticall_tpu.caller.variants import write_vcf
+    from corticall_tpu.models.reference_index import IndexedReference
+
+    g, _ = _trio_with_repeat()
+    rng = np.random.default_rng(1)
+    core_seq = "".join(rng.choice(list("ACGT"), 2400))
+    genome = core_seq[:1200] + core_seq[300:340] + core_seq[1200:]
+    mesh = Mesh(np.array(jax.devices()[:8]), (pm.AXIS,))
+    rois = core.find_rois(g, "kid", ["mom", "dad"])
+    parts = core.partition(g, rois, max_walk=256)
+    refs = {"mom": IndexedReference({"chr1": genome}),
+            "dad": IndexedReference({"chr1": genome})}
+    single = Caller(g, rois, parts, backgrounds=["mom", "dad"],
+                    references=refs)
+    want, _ = single.call()
+    got, _ = pm.sharded_call(mesh, g, rois, parts, ["mom", "dad"], refs)
+    assert len(want) > 0
+    sd = single.sequence_dictionary()
+    with tempfile.TemporaryDirectory() as td:
+        write_vcf(os.path.join(td, "a.vcf"), want, sd)
+        write_vcf(os.path.join(td, "b.vcf"), got, sd)
+        assert (open(os.path.join(td, "a.vcf"), "rb").read()
+                == open(os.path.join(td, "b.vcf"), "rb").read())
