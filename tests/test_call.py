@@ -323,3 +323,64 @@ def test_filter_calls_reciprocal_nahr_and_inherited(tmp_path):
     assert not inherited_in_references(dnm, refs)
     kept2, _ = filter_calls([inh, dnm], references=refs)
     assert [x.alleles[1] for x in kept2] == [dnm_base]
+
+
+def test_rolling_window_hashes_match_kmer_hash_codes():
+    from corticall_tpu.caller.call import (_rolling_window_hashes,
+                                           _kmer_hash_codes)
+    from corticall_tpu import kmer as km
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, 300).astype(np.uint8)
+    k = 21
+    hf, hr = _rolling_window_hashes(codes, k)
+    wins = km.kmerize_codes(codes, k)
+    assert np.array_equal(hf, _kmer_hash_codes(wins))
+    rc = np.stack([(3 - w)[::-1] for w in wins])
+    assert np.array_equal(hr, _kmer_hash_codes(rc))
+
+
+def test_batch_link_touch_matches_per_seed_membership():
+    from corticall_tpu.caller.call import (_batch_link_touch,
+                                           _kmer_hash_codes)
+    from corticall_tpu import kmer as km
+    rng = np.random.default_rng(1)
+    k = 15
+    paths = ["".join(rng.choice(list("ACGT"), rng.integers(k, 120)))
+             for _ in range(40)]
+    key_kmers = [p[3:3 + k] for p in paths[::4]]     # every 4th path touched
+    canon = [min(s, km.revcomp(s)) for s in key_kmers]
+    link_keys = np.unique(_kmer_hash_codes(km.strings_to_codes(canon)))
+    got = _batch_link_touch(paths, k, link_keys)
+
+    for i, p in enumerate(paths):
+        codes = km.string_to_codes_permissive(p)
+        wins = km.kmerize_codes(codes, k)
+        cn, _ = km.canonicalize_codes(wins)
+        h = _kmer_hash_codes(cn)
+        pos = np.minimum(np.searchsorted(link_keys, h), len(link_keys) - 1)
+        want = bool(np.any(link_keys[pos] == h))
+        if want:
+            assert got[i], i          # false negatives impossible
+    assert got[::4].all()
+
+
+def test_batch_replay_exts_matches_replay_walk():
+    from corticall_tpu.caller.call import _batch_replay_exts
+    from corticall_tpu.ops.walk_np import replay_walk
+    rng = np.random.default_rng(2)
+    k, T = 9, 40
+    seeds, rows, cyc = [], [], []
+    for i in range(30):
+        seeds.append("".join(rng.choice(list("ACGT"), k)))
+        n = int(rng.integers(0, T + 1))
+        row = np.full(T, -1, np.int8)
+        row[:n] = rng.integers(0, 4, n)
+        rows.append(row)
+        cyc.append(bool(rng.random() < 0.3))
+    bases2d = np.stack(rows)
+    cycled = np.asarray(cyc)
+    for cap in (5, T):
+        got = _batch_replay_exts(seeds, bases2d, cycled, cap)
+        want = [replay_walk(s, bases2d[i], bool(cycled[i]), cap)
+                for i, s in enumerate(seeds)]
+        assert got == want, cap
