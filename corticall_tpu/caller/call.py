@@ -55,124 +55,11 @@ def _kmer_hash_codes(codes: np.ndarray) -> np.ndarray:
                                                       dtype=np.uint64)
 
 
-_ROLL_M = 0x9E3779B97F4A7C15
-_ROLL_MINV = pow(_ROLL_M, -1, 1 << 64)        # M is odd -> invertible mod 2^64
-_ROLL_CACHE: dict = {}
-
-
-def _roll_powers(n: int):
-    """(M^i, M^-i) arrays (uint64 wraparound) of length >= n, cached by
-    power-of-two size."""
-    cap = 1 << max(10, (n - 1).bit_length())
-    pw = _ROLL_CACHE.get(cap)
-    if pw is None:
-        m = np.full(cap, np.uint64(_ROLL_M))
-        m[0] = 1
-        mi = np.full(cap, np.uint64(_ROLL_MINV & ((1 << 64) - 1)))
-        mi[0] = 1
-        pw = (np.cumprod(m, dtype=np.uint64), np.cumprod(mi, dtype=np.uint64))
-        _ROLL_CACHE[cap] = pw
-    return pw
-
-
-def _rolling_window_hashes(codes: np.ndarray, k: int):
-    """(h_fwd uint64[n-k+1], h_rc uint64[n-k+1]) for every k-window of a
-    base-code array, O(n) — h_fwd[i] == _kmer_hash_codes(window i) and
-    h_rc[i] == _kmer_hash_codes(revcomp(window i)), with NO [N, k] window
-    materialization: h[i] = (P[i+k] - P[i]) * M^-i where P is the prefix
-    sum of codes[j] * M^j (all uint64 wraparound; M odd so M^-1 exists)."""
-    n = len(codes)
-    if n < k:
-        z = np.zeros(0, np.uint64)
-        return z, z
-    pw, ipw = _roll_powers(n + 1)
-
-    def fwd_hashes(c):
-        s = c.astype(np.uint64) * pw[:n]
-        P = np.zeros(n + 1, np.uint64)
-        np.cumsum(s, out=P[1:])
-        return (P[k:] - P[:-k]) * ipw[:n - k + 1]
-
-    hf = fwd_hashes(codes)
-    cr = (3 - codes)[::-1]
-    hr_rev = fwd_hashes(cr)
-    return hf, hr_rev[::-1].copy()
-
-
-_BASE_LUT_BYTES = np.frombuffer(b"ACGT", dtype=np.uint8)
-
-
-def _batch_replay_exts(seeds: list, bases2d: np.ndarray, cycled: np.ndarray,
-                       max_branch: int) -> list:
-    """ops/walk_np.replay_walk for every lane at once: vectorized decode,
-    one rolling-hash pass + one lexsort for the capped-lane revisit gate
-    (identical outcome to the per-lane np.unique check), and the expensive
-    per-kmer dict replay only for lanes that genuinely need it (cycled, or
-    cap-saturated with an actual cursor revisit)."""
-    from ..ops.walk_np import replay_walk
-
-    valid = bases2d >= 0
-    lens = valid.sum(axis=1)
-    flat = _BASE_LUT_BYTES[bases2d[valid]]
-    bounds = np.zeros(len(seeds) + 1, np.int64)
-    np.cumsum(lens, out=bounds[1:])
-    blob = flat.tobytes()
-    exts = [blob[bounds[i]:bounds[i + 1]].decode()
-            for i in range(len(seeds))]
-    need_dict = np.asarray(cycled, bool).copy()
-    capped = ~need_dict & (lens >= max_branch)
-    idxs = np.nonzero(capped)[0]
-    if len(idxs):
-        k = len(seeds[0])
-        code_parts, id_parts = [], []
-        for i in idxs:
-            pc = km.string_to_codes_permissive(seeds[i] + exts[i])
-            code_parts.append(pc)
-            id_parts.append(np.full(len(pc), i, np.int64))
-        codes = np.concatenate(code_parts)
-        ids = np.concatenate(id_parts)
-        hf, _ = _rolling_window_hashes(codes, k)
-        ok = ids[:len(hf)] == ids[k - 1:]
-        wid = ids[:len(hf)][ok]
-        h = hf[ok]
-        order = np.lexsort((h, wid))
-        ws, hs = wid[order], h[order]
-        dup = (ws[1:] == ws[:-1]) & (hs[1:] == hs[:-1])
-        for i in np.unique(ws[1:][dup]):
-            need_dict[i] = True
-    for i in np.nonzero(need_dict)[0]:
-        exts[i] = replay_walk(seeds[i], bases2d[i], bool(cycled[i]),
-                              max_branch)
-    return exts
-
-
-def _batch_link_touch(paths: list, k: int,
-                      link_keys: np.ndarray) -> np.ndarray:
-    """bool[len(paths)]: does any k-window of each path carry link records?
-    One rolling-hash pass over the concatenated paths, membership tested
-    for BOTH orientations' hashes (hash(canonical) always equals one of
-    them; the extra orientation can only add a collision false positive,
-    which just routes one more chain to the exact linked replay)."""
-    touched = np.zeros(len(paths), bool)
-    if not paths:
-        return touched
-    sizes = np.fromiter((len(p) for p in paths), np.int64, len(paths))
-    ids = np.repeat(np.arange(len(paths)), sizes)
-    codes = np.concatenate(
-        [km.string_to_codes_permissive(p) for p in paths])
-    if len(codes) < k:
-        return touched
-    hf, hr = _rolling_window_hashes(codes, k)
-    ok = ids[:len(hf)] == ids[k - 1:]
-    wid = ids[:len(hf)][ok]
-
-    def member(h):
-        pos = np.minimum(np.searchsorted(link_keys, h), len(link_keys) - 1)
-        return link_keys[pos] == h
-
-    hit = member(hf[ok]) | member(hr[ok])
-    touched[np.unique(wid[hit])] = True
-    return touched
+# batched walk-replay/link-membership helpers (shared with the prefilter
+# chain walks): ops/walk_np.py owns them; re-exported here for callers/tests
+from ..ops.walk_np import (rolling_window_hashes as _rolling_window_hashes,
+                           batch_replay_exts as _batch_replay_exts,
+                           batch_link_touch as _batch_link_touch)
 
 
 def graph_from_dfs_edges(graph, edges, seed_kmer: str, color: int,

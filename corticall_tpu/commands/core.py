@@ -436,8 +436,6 @@ def _batched_contigs(graph: gr.CortexGraph, color: int, cks: list,
     previous allotment, so 20k short error-tip chains cost one small kernel
     call while the rare chromosome-length chain still walks to its true end —
     the classification the per-ROI host loop gave at 15x the wall-clock."""
-    from ..ops import walk as wk
-
     k = graph.kmer_size
     if not cks:
         return {}
@@ -457,7 +455,12 @@ def _batched_contigs(graph: gr.CortexGraph, color: int, cks: list,
         return np.asarray(b).T, np.asarray(cy), np.asarray(st)
 
     def extend_all(seeds: list) -> list:
-        """Full forward extension per seed (iterative rounds)."""
+        """Full forward extension per seed (iterative rounds).  Replay and
+        revisit gates run BATCHED (ops/walk_np.batch_replay_exts /
+        batch_dedup_extensions — one rolling-hash pass per round instead of
+        a per-seed kmerize/unique, which dominated the flagship prefilter
+        at 96 s of its 103 s)."""
+        from ..ops import walk_np as wnp
         exts = [""] * len(seeds)
         live = list(range(len(seeds)))
         cur = list(seeds)
@@ -465,10 +468,12 @@ def _batched_contigs(graph: gr.CortexGraph, color: int, cks: list,
         chunk = min(first_chunk, max_walk)
         while live and done_steps < max_walk:
             chunk = min(chunk, max_walk - done_steps)
-            b, cy, st = batch_walk([cur[i] for i in live], chunk)
+            seeds_live = [cur[i] for i in live]
+            b, cy, st = batch_walk(seeds_live, chunk)
+            round_exts = wnp.batch_replay_exts(seeds_live, b, cy, chunk)
             nxt_live = []
             for row, i in enumerate(live):
-                ext = wk.replay_walk(cur[i], b[row], bool(cy[row]), chunk)
+                ext = round_exts[row]
                 exts[i] += ext
                 cur[i] = (cur[i] + ext)[-k:]
                 if not cy[row] and st[row] == chunk:
@@ -478,9 +483,7 @@ def _batched_contigs(graph: gr.CortexGraph, color: int, cks: list,
             chunk *= 4
         # chunk-local seen-sets can leak an extra lap around cycles longer
         # than one chunk; a final whole-extension replay is the oracle
-        from ..ops import walk_np as wnp
-        return [wnp.dedup_extension(s, e, max_walk)
-                for s, e in zip(seeds, exts)]
+        return wnp.batch_dedup_extensions(seeds, exts, max_walk)
 
     rc = [km.revcomp(s) for s in cks]
     fwd = extend_all(cks)

@@ -116,6 +116,184 @@ _BASE_LUT = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 _REVISIT_POWERS: dict = {}
 
+_ROLL_M = 0x9E3779B97F4A7C15
+_ROLL_MINV = pow(_ROLL_M, -1, 1 << 64)       # M is odd -> invertible mod 2^64
+_ROLL_CACHE: dict = {}
+
+
+def _roll_powers(n: int):
+    """(M^i, M^-i) uint64-wraparound arrays of length >= n, cached by
+    power-of-two size."""
+    cap = 1 << max(10, (n - 1).bit_length())
+    pw = _ROLL_CACHE.get(cap)
+    if pw is None:
+        m = np.full(cap, np.uint64(_ROLL_M))
+        m[0] = 1
+        mi = np.full(cap, np.uint64(_ROLL_MINV & ((1 << 64) - 1)))
+        mi[0] = 1
+        pw = (np.cumprod(m, dtype=np.uint64), np.cumprod(mi, dtype=np.uint64))
+        _ROLL_CACHE[cap] = pw
+    return pw
+
+
+def rolling_window_hashes(codes: np.ndarray, k: int):
+    """(h_fwd uint64[n-k+1], h_rc uint64[n-k+1]) for every k-window of a
+    base-code array, O(n): h_fwd[i] equals the polynomial hash
+    sum_j codes[i+j]*M^j (the _has_revisit/_kmer_hash_codes function) and
+    h_rc[i] the same for the window's reverse complement — with NO [N, k]
+    window materialization (h[i] = (P[i+k]-P[i]) * M^-i over the prefix sum
+    P of codes[j]*M^j; all uint64 wraparound)."""
+    n = len(codes)
+    if n < k:
+        z = np.zeros(0, np.uint64)
+        return z, z
+    pw, ipw = _roll_powers(n + 1)
+
+    def fwd_hashes(c):
+        s = c.astype(np.uint64) * pw[:n]
+        P = np.zeros(n + 1, np.uint64)
+        np.cumsum(s, out=P[1:])
+        return (P[k:] - P[:-k]) * ipw[:n - k + 1]
+
+    hf = fwd_hashes(codes)
+    cr = (3 - codes)[::-1]
+    hr_rev = fwd_hashes(cr)
+    return hf, hr_rev[::-1].copy()
+
+
+def _path_offsets(paths: list):
+    sizes = np.fromiter((len(p) for p in paths), np.int64, len(paths))
+    starts = np.zeros(len(paths) + 1, np.int64)
+    np.cumsum(sizes, out=starts[1:])
+    return starts
+
+
+_PATH_BATCH_BASES = 8 << 20
+
+
+def _path_batches(paths: list, budget: int = _PATH_BATCH_BASES):
+    """Yield (lo, hi) index ranges whose total base count stays under
+    `budget`, so the rolling-hash power arrays stay ~64 MB instead of
+    scaling with the whole input (flagship chains total ~10^8 bases)."""
+    lo, acc = 0, 0
+    for i, p in enumerate(paths):
+        if acc and acc + len(p) > budget:
+            yield lo, i
+            lo, acc = i, 0
+        acc += len(p)
+    if lo < len(paths):
+        yield lo, len(paths)
+
+
+def batch_revisit(seeds: list, exts: list) -> np.ndarray:
+    """Vectorized _has_revisit over many (seed, ext) paths: ONE rolling-hash
+    pass over the concatenation (no [N, k] window materialization, the old
+    per-path cost), then a cache-friendly per-path uniqueness check on the
+    hash slices.  Identical outcome (same hash function, same test)."""
+    out = np.zeros(len(seeds), bool)
+    if not seeds:
+        return out
+    from .. import kmer as km
+    k = len(seeds[0])
+    paths = [s + e for s, e in zip(seeds, exts)]
+    for blo, bhi in _path_batches(paths):
+        batch = paths[blo:bhi]
+        starts = _path_offsets(batch)
+        codes = km.string_to_codes_permissive("".join(batch))
+        if len(codes) < k:
+            continue
+        hf, _ = rolling_window_hashes(codes, k)
+        for i in range(len(batch)):
+            lo, hi = starts[i], starts[i + 1] - (k - 1)
+            if hi <= lo:
+                continue
+            h = hf[lo:hi]
+            if len(np.unique(h)) != len(h):
+                out[blo + i] = True
+    return out
+
+
+def batch_replay_exts(seeds: list, bases2d: np.ndarray, cycled: np.ndarray,
+                      max_branch: int) -> list:
+    """replay_walk for every lane at once: vectorized decode, batched
+    revisit gate for cap-saturated lanes, per-kmer dict replay only where
+    genuinely needed (cycled, or capped with an actual cursor revisit) —
+    the per-lane python was the dominant flagship Call/prefilter cost."""
+    valid = bases2d >= 0
+    lens = valid.sum(axis=1)
+    flat = _BASE_LUT[bases2d[valid]]
+    bounds = np.zeros(len(seeds) + 1, np.int64)
+    np.cumsum(lens, out=bounds[1:])
+    blob = flat.tobytes()
+    exts = [blob[bounds[i]:bounds[i + 1]].decode()
+            for i in range(len(seeds))]
+    need_dict = np.asarray(cycled, bool).copy()
+    capped = ~need_dict & (lens >= max_branch)
+    idxs = np.nonzero(capped)[0]
+    if len(idxs):
+        rev = batch_revisit([seeds[i] for i in idxs],
+                            [exts[i] for i in idxs])
+        need_dict[idxs[rev]] = True
+    for i in np.nonzero(need_dict)[0]:
+        exts[i] = replay_walk(seeds[i], bases2d[i], bool(cycled[i]),
+                              max_branch)
+    return exts
+
+
+def batch_dedup_extensions(seeds: list, exts: list,
+                           max_branch_length: int = 75000) -> list:
+    """dedup_extension for many (seed, ext) pairs with ONE batched revisit
+    gate; only paths with an actual revisit pay the dict replay."""
+    nonempty = [i for i, e in enumerate(exts) if e]
+    out = list(exts)
+    if not nonempty:
+        return out
+    rev = batch_revisit([seeds[i] for i in nonempty],
+                        [exts[i] for i in nonempty])
+    from .. import kmer as km
+    for j in np.nonzero(rev)[0]:
+        i = nonempty[j]
+        codes = km.string_to_codes_permissive(exts[i]).astype(np.int8)
+        out[i] = replay_walk(seeds[i], codes, True, max_branch_length)
+    return out
+
+
+def batch_link_touch(paths: list, k: int,
+                     link_keys: np.ndarray) -> np.ndarray:
+    """bool[len(paths)]: does any k-window of each path carry link records?
+    One rolling-hash pass; membership tested for BOTH orientations' hashes
+    (hash(canonical) always equals one of them; the extra orientation can
+    only add a collision false positive, which just routes one more chain
+    to the exact linked replay)."""
+    from .. import kmer as km
+    touched = np.zeros(len(paths), bool)
+    if not paths:
+        return touched
+
+    def member(h):
+        pos = np.minimum(np.searchsorted(link_keys, h), len(link_keys) - 1)
+        return link_keys[pos] == h
+
+    for blo, bhi in _path_batches(paths):
+        batch = paths[blo:bhi]
+        starts = _path_offsets(batch)
+        codes = km.string_to_codes_permissive("".join(batch))
+        if len(codes) < k:
+            continue
+        hf, hr = rolling_window_hashes(codes, k)
+        # windows spanning a path boundary are invalid: the k-1 slots
+        # before each boundary
+        bad = (starts[1:, None] - np.arange(k - 1, 0, -1)[None, :]).ravel()
+        bad = bad[(bad >= 0) & (bad < len(hf))]
+        ok = np.ones(len(hf), bool)
+        ok[bad] = False
+        hit = np.zeros(len(hf), bool)
+        hit[ok] = member(hf[ok]) | member(hr[ok])
+        w = np.nonzero(hit)[0]
+        pid = np.searchsorted(starts, w, side="right") - 1
+        touched[blo + np.unique(pid)] = True
+    return touched
+
 
 def _has_revisit(seed: str, codes: np.ndarray, k: int) -> bool:
     """True when the walk-oriented kmer cursor revisits any position along
