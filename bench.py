@@ -147,7 +147,7 @@ def main():
     # runs the full device pointer-doubling)
     jt_t0 = time.perf_counter()
     jt = ck.build_jump_table(g.kmers, g.edges[:, 0], k)
-    int(np.asarray(jt.rows[0, 0]))
+    int(np.asarray(jt.rows[0]))
     jt_build_s = time.perf_counter() - jt_t0
 
     emitted_call = int(np.asarray(es))
@@ -162,7 +162,7 @@ def main():
     device_sps = emitted_call / dt_med
     iters_used = ck.jump_iters(tj)
     total_rows = iters_used * b
-    run_row_bytes = jt.rows.shape[1] * 4
+    run_row_bytes = 16                     # flat rows: 4 uint32 words each
     run_gbs = total_rows * run_row_bytes / dt_med / 1e9
     run_bytes_per_step = total_rows * run_row_bytes / max(emitted_call, 1)
 

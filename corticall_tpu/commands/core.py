@@ -597,14 +597,27 @@ def link_kmer_flags(graph: gr.CortexGraph, links) -> np.ndarray:
 
 
 # linked Partition routes through the native C++ walker (exact unbounded
-# LinkStore, no compile) at or below this seed count; above it the device
-# jump-table path (link-free jump walks + exact linked replay of the walks
-# that touch link-carrying kmers) takes over.  Measured: LINKBENCH_r04.json
-# — native wins at every size up to 65536 seeds (speedup_device 0.53-0.88;
-# ~47% of walks need the native replay regardless, and this rig's ~20 MB/s
-# tunnel taxes the device path's base materialization), with the trend
-# crossing over just beyond.  Tests set -1 to force the device path.
-_NATIVE_LINK_THRESHOLD = 65536
+# LinkStore, no compile) for small seed batches; the device jump-table path
+# (link-free jump walks + exact linked replay of the walks that touch
+# link-carrying kmers) takes over when the batch is large enough to
+# amortize BOTH per-walk cost and the record-scaled table build.
+# Re-measured on round-5 code (LINKBENCH_r05.json, 4 Mbp graph + real
+# threaded links, build excluded): device wins at 4k/16k/64k seeds
+# (speedup 1.22/1.30/1.27), native at 1k (0.80), and the post-fix
+# exact-replay fraction is a stable ~26% of seeds (r4: ~47%).  With the
+# warm build INCLUDED (~2.2 s per 1M records on this rig) the crossover is
+# seed-count AND graph-size dependent — measured directly at flagship
+# scale (23.7M records, 5,257 seeds): device 345 s vs native 46 s, output
+# bit-identical — hence the records//256 term, which reproduces both the
+# 4 Mbp crossover (~16-32k seeds) and the flagship routing.  Tests set
+# the floor to -1 to force the device path.
+_NATIVE_LINK_THRESHOLD = 2048
+
+
+def _linked_device_min(num_records: int) -> int:
+    if _NATIVE_LINK_THRESHOLD < 0:        # tests force the device path
+        return -1
+    return max(_NATIVE_LINK_THRESHOLD, num_records // 256)
 
 
 def _partition_links_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
@@ -633,7 +646,8 @@ def _partition_links_device(graph: gr.CortexGraph, roi: gr.CortexGraph,
         return []
     child_color = graph.color_for_sample(roi.sample_name(0))
 
-    use_native_only = nat.available() and len(cks) <= _NATIVE_LINK_THRESHOLD
+    use_native_only = (nat.available()
+                       and len(cks) <= _linked_device_min(graph.num_records))
 
     def native_assemble(walker, seeds):
         f, jf = walker.walk(seeds, max_walk)

@@ -654,9 +654,36 @@ _JUMP_END = np.uint32(0xFFFFFFFF)   # run ends the walk (branch/dead-end)
 JUMP_MAX = 32
 
 
+def _gather_rows128(flat: jnp.ndarray, idx: jnp.ndarray, size: int):
+    """[B, size] logical rows from a FLAT array interpreted as [M, 128]
+    tiles holding 128//size rows each: one aligned 128-lane row gather per
+    lane + an on-chip lane select (take_along_axis).
+
+    Why: a 2-D [2N, 4] uint32 row array is tiled (8,128) on TPU, padding
+    the 4-wide minor dim to 128 — a 32x HBM blow-up that OOMs the
+    flagship-scale jump table (23.7M records -> 32 GiB).  The hardware
+    fetches a full 128-lane tile row per gather either way, so packing 32
+    logical rows per tile row keeps the gather count AND the HBM bytes
+    exact; only the cheap on-chip select is added.  (A 4-element sliced
+    lax.gather over the flat array lowers ~13x slower — measured.)
+
+    The select uses a one-hot multiply-reduce on the VPU — measured 60M
+    rows/s vs the 2-D padded layout's 81M (take_along_axis lowers to a
+    12M rows/s gather; sliced 1-D lax.gather to 35M).
+
+    `size` must divide 128 and len(flat) must be a multiple of 128."""
+    per = 128 // size
+    tiles = flat.reshape(-1, 128)
+    t = tiles[idx // per].reshape(-1, per, size)   # [B, per, size]
+    onehot = (jnp.arange(per, dtype=jnp.int32)[None, :]
+              == (idx % per).astype(jnp.int32)[:, None])
+    return (t * onehot[:, :, None].astype(t.dtype)).sum(axis=1)
+
+
 @dataclass
 class JumpTable:
-    """rows: uint32[2N, 4] — row 2*i+d = (hi, lo, next_row, meta) for kmer
+    """rows: uint32[2N*4] FLAT — row 2*i+d at [4*(2i+d), 4*(2i+d)+4) =
+    (hi, lo, next_row, meta) for kmer
     i in orientation d (0 = as stored/canonical, 1 = revcomp).  (hi, lo)
     hold the run bases LINEARLY packed big-endian: base p at bits (62-2p)
     of the 64-bit pair (hi bits 30-2p for p<16, lo bits 30-2(p-16) for
@@ -668,6 +695,13 @@ class JumpTable:
     a walk's emissions concatenate contiguously — the walker returns ONE
     [B, 2T] packed array at ~2 bits per base, which matters on rigs where
     device->host moves at tens of MB/s (the axon tunnel).
+
+    Both `rows` and `buckets` are stored FLAT (1-D): TPU tiling pads a
+    2-D array's minor dimension to 128 lanes, so [2N, 4] rows and
+    [NB, 8] buckets would occupy 32x/16x their logical bytes in HBM —
+    the flagship graph's table alone would exceed device memory.  Flat
+    layouts store exact bytes; lookups/jumps use sliced gathers
+    (_gather_slices).
 
     Capacity: row ids are 2*payload+orientation carried as int32, capping
     the graph at 2^30 kmers (vs the cuckoo payload's 2^31) — ample for the
@@ -704,50 +738,67 @@ def _pair_shr(hi: jnp.ndarray, lo: jnp.ndarray, s: jnp.ndarray):
     return hi2.astype(jnp.uint32), lo2.astype(jnp.uint32)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _jump_stage0(kmers_dev, edges_dev, flags_dev, ct_buckets, k: int):
-    """Single-step successor for every (kmer, orientation) row.
+def _lookup_flat_chunked(flat, canon, w: int, chunk: int = 1 << 19):
+    """lookup_payload_tag_flat in bounded chunks: the whole-graph landing
+    resolve in _jump_stage0 would otherwise materialize a [2N, 128]
+    gathered-tile intermediate (32 GiB at the flagship's 23.7M records)."""
+    n = canon.shape[0]
+    if n <= chunk:
+        return lookup_payload_tag_flat(flat, canon, w)
+    npad = -(-n // chunk) * chunk
+    cpad = jnp.concatenate(
+        [canon, jnp.zeros((npad - n, canon.shape[1]), canon.dtype)])
+    cc = cpad.reshape(-1, chunk, canon.shape[1])
+    pay, tag = jax.lax.map(
+        lambda c: lookup_payload_tag_flat(flat, c, w), cc)
+    return pay.reshape(-1)[:n], tag.reshape(-1)[:n]
 
-    Returns per-row (hi, lo, length, cyc, flag, ptr) where (hi, lo) hold
-    the run bases in LINEAR packing — base p at bits (62-2p) of the 64-bit
-    pair — and ptr is the successor row id (or _JUMP_END).  Orientation
-    d=1 rows walk from the revcomp of the stored kmer.  The edge byte
-    comes from the dense edges array (no hash); only the LANDING kmer
-    needs one lookup.  `flag` starts as the per-kmer attribute bit
-    (flags_dev — e.g. "this kmer carries link records") and compose ORs
-    it along runs, so a walked lane knows whether ANY kmer on its path
-    has the attribute without any host-side hashing."""
+
+def _jump_stage0(kmers_dev, edges_dev, flags_dev, ct_buckets, k: int,
+                 d: int):
+    """Single-step successor for every kmer row in ONE orientation
+    (d=0: stored/canonical, out-edges from the low nibble; d=1: revcomp,
+    high nibble).  One jit per orientation keeps the flagship-scale peak
+    under HBM (a fused fwd+rev program held both pipelines live and
+    exceeded 15.75G by ~260M at 23.7M records).
+
+    Returns per-row (hi, lo, length, cyc, flag, endj, ptr) where (hi, lo)
+    hold the run bases in LINEAR packing — base p at bits (62-2p) of the
+    64-bit pair — and ptr is the successor row id (or _JUMP_END).  The
+    edge byte comes from the dense edges array (no hash); only the
+    LANDING kmer needs one (chunked) lookup.  `flag` starts as the
+    per-kmer attribute bit (flags_dev — e.g. "this kmer carries link
+    records") and compose ORs it along runs, so a walked lane knows
+    whether ANY kmer on its path has the attribute without any host-side
+    hashing."""
     n, w = kmers_dev.shape
     e = edges_dev.astype(jnp.uint32)
+    cur = kmers_dev if d == 0 else kj.revcomp_words(kmers_dev, k)
+    next_mask = (e & 0xF) if d == 0 else (e >> 4)
 
-    def one(cur, next_mask, d):
-        nm = kj.popcount4(next_mask)
-        base = kj.lowest_set_base(next_mask)
-        nxt = kj.shift_append(cur, base.astype(jnp.uint32), k)
-        single = nm == 1
-        canon, fl2 = kj.canonicalize_words(nxt, k)
-        pay, present = lookup_payload_tag(ct_buckets, canon, w)
-        dest = (2 * pay + fl2.astype(jnp.uint32)).astype(jnp.uint32)
-        own = (2 * jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(d))
-        self_loop = single & present & (dest == own)
-        length = jnp.where(single & ~self_loop, 1, 0).astype(jnp.uint32)
-        cyc = self_loop
-        ptr = jnp.where(single & present & ~self_loop, dest, _JUMP_END)
-        hi = jnp.where(length > 0, base.astype(jnp.uint32) << 30, 0)
-        lo = jnp.zeros_like(hi)
-        # stop cause bit: this kmer is a JUNCTION (out-degree >= 2) in the
-        # walk orientation — the one stop class links can alter (a link-free
-        # walk stops at its FIRST junction, so mid-path junctions never
-        # occur; dead-ends and missing neighbors are link-immune)
-        endj = nm >= 2
-        return hi, lo, length, cyc, flags_dev, endj, ptr
+    nm = kj.popcount4(next_mask)
+    base = kj.lowest_set_base(next_mask)
+    nxt = kj.shift_append(cur, base.astype(jnp.uint32), k)
+    single = nm == 1
+    canon, fl2 = kj.canonicalize_words(nxt, k)
+    pay, present = _lookup_flat_chunked(ct_buckets, canon, w)
+    dest = (2 * pay + fl2.astype(jnp.uint32)).astype(jnp.uint32)
+    own = (2 * jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(d))
+    self_loop = single & present & (dest == own)
+    length = jnp.where(single & ~self_loop, 1, 0).astype(jnp.uint32)
+    cyc = self_loop
+    ptr = jnp.where(single & present & ~self_loop, dest, _JUMP_END)
+    hi = jnp.where(length > 0, base.astype(jnp.uint32) << 30, 0)
+    lo = jnp.zeros_like(hi)
+    # stop cause bit: this kmer is a JUNCTION (out-degree >= 2) in the
+    # walk orientation — the one stop class links can alter (a link-free
+    # walk stops at its FIRST junction, so mid-path junctions never
+    # occur; dead-ends and missing neighbors are link-immune)
+    endj = nm >= 2
+    return hi, lo, length, cyc, flags_dev, endj, ptr
 
-    # d=0: stored (canonical) orientation -> out-edges are the low nibble;
-    # d=1: revcomp orientation -> the high nibble (walk kernels derive the
-    # same masks via canonicalize+flipped)
-    fwd = one(kmers_dev, e & 0xF, 0)
-    rev = one(kj.revcomp_words(kmers_dev, k), e >> 4, 1)
-    return fwd, rev
+
+_jump_stage0_jit = partial(jax.jit, static_argnames=("k", "d"))(_jump_stage0)
 
 
 @jax.jit
@@ -781,7 +832,12 @@ def _jump_pack_rows(hi, lo, length, cyc, flag, endj, ptr):
     meta = (length | (endj.astype(jnp.uint32) << 29)
             | (flag.astype(jnp.uint32) << 30)
             | (cyc.astype(jnp.uint32) << 31))
-    return jnp.stack([hi, lo, ptr, meta], axis=1)
+    # FLAT interleaved output (see JumpTable): strided 1-D writes — a
+    # stacked [2N, 4] intermediate would tile-pad 32x in HBM
+    n = hi.shape[0]
+    flat = jnp.zeros(4 * n, jnp.uint32)
+    return (flat.at[0::4].set(hi).at[1::4].set(lo)
+            .at[2::4].set(ptr).at[3::4].set(meta))
 
 
 def _jump_rows_device(kmers_dev, edges_dev, flags_dev, ct_buckets, k: int):
@@ -790,11 +846,16 @@ def _jump_rows_device(kmers_dev, edges_dev, flags_dev, ct_buckets, k: int):
     log2(JUMP_MAX) doubling passes — the remote AOT compiler charges per
     program, so splitting cuts compile wall-clock several-fold while
     adding only ~7 cheap dispatches."""
-    (fh, fl, fn, fc, ff, fj, fp), (rh, rl, rn, rc, rf, rj, rp) = _jump_stage0(
-        kmers_dev, edges_dev, flags_dev, ct_buckets, k)
+    fh, fl, fn, fc, ff, fj, fp = _jump_stage0_jit(
+        kmers_dev, edges_dev, flags_dev, ct_buckets, k, 0)
+    rh, rl, rn, rc, rf, rj, rp = _jump_stage0_jit(
+        kmers_dev, edges_dev, flags_dev, ct_buckets, k, 1)
 
     def interleave(a, b):
-        return jnp.stack([a, b], axis=1).reshape(-1, *a.shape[1:])
+        # strided 1-D writes: a stacked [N, 2] intermediate would tile-pad
+        # 64x in HBM (16 GiB at flagship scale)
+        out = jnp.zeros(2 * a.shape[0], a.dtype)
+        return out.at[0::2].set(a).at[1::2].set(b)
 
     hi, lo = interleave(fh, rh), interleave(fl, rl)
     length, cyc, flag, endj, ptr = (
@@ -817,17 +878,23 @@ def _pow2_pad(n: int, lo: int = 4096) -> int:
 
 @partial(jax.jit, static_argnames=("nb",))
 def _scatter_buckets(kd, entry_idx, nb: int):
-    """Build the bs=2 cuckoo bucket array ON DEVICE from the uploaded keys
-    and the host-computed placement (entry_idx = bucket*2 + pos): one
-    unique-index scatter.  Uploading (bucket, pos) as one int32[N] costs
-    ~4 B/key over the tunnel vs ~24 B/key for the materialized bucket
-    array — the build was h2d-transfer-bound, not compute-bound."""
+    """Build the bs=2 cuckoo bucket array ON DEVICE, FLAT
+    (uint32[NB*2*(w+1)]), from the uploaded keys and the host-computed
+    placement (entry_idx = bucket*2 + pos): w+1 unique-index 1-D scatters.
+    Uploading (bucket, pos) as one int32[N] costs ~4 B/key over the tunnel
+    vs ~24 B/key for a materialized bucket array (the build was
+    h2d-transfer-bound), and the flat layout avoids the TPU minor-dim tile
+    padding that would inflate a 2-D bucket array 16x in HBM."""
     n, w = kd.shape
+    assert w <= 3, "flat bucket layout holds keys of up to 3 words"
     tag = jnp.uint32(0x80000000) | jnp.arange(n, dtype=jnp.uint32)
-    vals = jnp.concatenate([kd, tag[:, None]], axis=1)
-    entries = jnp.zeros((nb * 2, w + 1), jnp.uint32)
-    entries = entries.at[entry_idx].set(vals, unique_indices=True)
-    return entries.reshape(nb, 2 * (w + 1))
+    # fixed entry stride 4 (keys at 0..w-1, tag at slot 3) so a bucket row
+    # is exactly 8 words and 16 buckets pack one 128-lane tile row
+    flat = jnp.zeros(nb * 8, jnp.uint32)
+    base = entry_idx * 4
+    for j in range(w):
+        flat = flat.at[base + j].set(kd[:, j], unique_indices=True)
+    return flat.at[base + 3].set(tag, unique_indices=True)
 
 
 @partial(jax.jit, static_argnames=("npad",))
@@ -877,6 +944,10 @@ def build_jump_table(kmers: np.ndarray, edges: np.ndarray, k: int,
     ed = jnp.asarray(np.ascontiguousarray(edges.astype(np.uint8)))
     fd = jnp.asarray(np.ascontiguousarray(flags.astype(bool)))
     nb, bucket_of, pos_of, _h1 = _place(kmers, load_factor, None, 2, True)
+    if nb < 16:
+        # the flat bucket layout packs 16 bucket rows per 128-lane tile and
+        # derives nb from the array size — keep nb at the tile minimum
+        nb, bucket_of, pos_of, _h1 = _place(kmers, load_factor, 16, 2, True)
     entry_idx = jnp.asarray((bucket_of * 2 + pos_of).astype(np.int32))
     ct_buckets = _scatter_buckets(kd, entry_idx, nb)
     npad = _pow2_pad(n)
@@ -888,12 +959,35 @@ def build_jump_table(kmers: np.ndarray, edges: np.ndarray, k: int,
 @partial(jax.jit, static_argnames=("k",))
 def _jump_seed_rows(buckets, seeds, k: int):
     """Resolve seed cursors to jump-table row ids (int32; negative = not in
-    graph).  One two-probe lookup — the only hashing a jump walk ever does."""
+    graph).  One two-probe lookup — the only hashing a jump walk ever does.
+    Accepts the jump table's FLAT bucket layout or the legacy 2-D one."""
     w = seeds.shape[1]
     canon, flipped = kj.canonicalize_words(seeds, k)
-    payload, tag = lookup_payload_tag(buckets, canon, w)
+    if buckets.ndim == 1:
+        payload, tag = lookup_payload_tag_flat(buckets, canon, w)
+    else:
+        payload, tag = lookup_payload_tag(buckets, canon, w)
     row = (2 * payload.astype(jnp.int32)) + flipped.astype(jnp.int32)
     return jnp.where(tag, row, -1)
+
+
+def lookup_payload_tag_flat(flat: jnp.ndarray, canon: jnp.ndarray, w: int):
+    """lookup_payload_tag over the FLAT bs=2 bucket layout (fixed 4-word
+    entry stride: keys at 0..w-1, tag at slot 3; 8-word bucket rows packed
+    16 per 128-lane tile): one aligned tile gather per candidate bucket +
+    vector compares."""
+    nb = flat.shape[0] // 8
+    mask = jnp.uint32(nb - 1)
+    h = kj.hash_words(canon)
+    idx = jnp.concatenate([h & mask, _jnp_h2(h) & mask]).astype(jnp.int32)
+    rows = _gather_rows128(flat, idx, 8)
+    rows = rows.reshape(2, canon.shape[0], 2, 4)
+    tag = rows[..., 3]
+    match = (tag >= jnp.uint32(0x80000000)) & jnp.all(
+        rows[..., :w] == canon[None, :, None, :], axis=-1)
+    payload = jnp.max(jnp.where(match, tag & jnp.uint32(0x7FFFFFFF), 0),
+                      axis=(0, 2))
+    return payload, jnp.any(match, axis=(0, 2))
 
 
 def lookup_payload_tag(buckets: jnp.ndarray, canon: jnp.ndarray, w: int):
@@ -929,7 +1023,7 @@ def _jump_step_fn(rows, num_steps: int):
     def step(state, _):
         (row, active, emitcnt, cycled, saved, power, lam, touched,
          endj) = state
-        r = rows[jnp.maximum(row, 0)]                      # [B, 4]
+        r = _gather_rows128(rows, jnp.maximum(row, 0), 4)      # [B, 4]
         hi, lo, ptr, meta = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
         run_len = (meta & jnp.uint32(0x3F)).astype(jnp.int32)
         run_cyc = (meta >> jnp.uint32(31)) != 0
