@@ -42,8 +42,13 @@ def main():
     reads = sim.simulate_reads(list(mom.values()), cov, 150, 0.002, seed=12)
     n_bases = sum(len(r) for r in reads)
 
+    from corticall_tpu import native as nat
+    host_kind = "native_cpp" if nat.available() else "numpy"
     t0 = time.perf_counter()
-    hk, hc, hi, ho = bd.count_kmers(reads, k)
+    if nat.available():
+        hk, hc, hi, ho = nat.count_kmers_native(reads, k)
+    else:
+        hk, hc, hi, ho = bd.count_kmers(reads, k)
     host_s = time.perf_counter() - t0
 
     # device path: first call pays compiles; a second call is the steady
@@ -78,7 +83,11 @@ def main():
 
     @jax.jit
     def dosort(i, v):
-        out = jax.lax.sort([v, v, v, i.astype(jnp.uint32)], num_keys=3)
+        # three DISTINCT random key operands + one payload (the count
+        # path's shape); identical keys would make the sort trivial
+        k1 = v * jnp.uint32(2654435761)
+        k2 = v ^ (v >> 13)
+        out = jax.lax.sort([v, k1, k2, i.astype(jnp.uint32)], num_keys=3)
         return out[0].sum()
     sortr = rate(dosort)
 
@@ -96,6 +105,7 @@ def main():
         "genome_mbp": mbp, "coverage": cov, "k": k,
         "read_bases": n_bases, "unique_kmers": int(len(hk)),
         "bit_identical": bool(identical),
+        "host_kind": host_kind,
         "native_s": round(host_s, 2),
         "device_s": round(dev_s, 2),
         "device_first_s": round(dev_first_s, 2),
